@@ -1,0 +1,21 @@
+"""Test harness config: run all tests on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initializes; pytest imports conftest first.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def demo_ann_file():
+    path = '/root/reference/data/demo_dataset/demo_dataset-32.json'
+    if not os.path.exists(path):
+        pytest.skip('demo dataset fixture not available')
+    return path
