@@ -1,0 +1,166 @@
+"""Declarative configuration for kgdet_tpu models and experiments.
+
+Dataclass-based (type-checked, composable) rather than executable python
+dicts; a small registry keeps component selection string-driven so config
+files stay declarative. Python config files assign a ``config`` variable and
+are loaded with ``Config.fromfile`` (UX parity with the reference's
+configs/*.py, reference mmdet/utils/registry.py:6-74).
+"""
+from __future__ import annotations
+
+import dataclasses
+import runpy
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+class Registry:
+    """String-keyed class registry (build components from config names)."""
+
+    def __init__(self, name):
+        self.name = name
+        self._map = {}
+
+    def register(self, cls=None, *, name=None):
+        def deco(c):
+            key = name or c.__name__
+            if key in self._map:
+                raise KeyError(f'{key} already registered in {self.name}')
+            self._map[key] = c
+            return c
+        return deco(cls) if cls is not None else deco
+
+    def get(self, key):
+        if key not in self._map:
+            raise KeyError(
+                f'{key} not in registry {self.name}; have {list(self._map)}')
+        return self._map[key]
+
+    def __contains__(self, key):
+        return key in self._map
+
+
+BACKBONES = Registry('backbones')
+NECKS = Registry('necks')
+HEADS = Registry('heads')
+DETECTORS = Registry('detectors')
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    type: str = 'ResNet'
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+
+
+@dataclass(frozen=True)
+class NeckConfig:
+    type: str = 'FPN'
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    start_level: int = 1
+    end_level: int = -1
+    num_outs: int = 5
+    add_extra_convs: bool = True
+    select_out: Optional[Tuple[int, ...]] = (2,)
+    norm: Optional[str] = 'gn'
+    gn_groups: int = 32
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    type: str = 'KGDetHead'
+    num_classes: int = 13            # foreground classes (sigmoid)
+    in_channels: int = 256
+    feat_channels: int = 256
+    point_feat_channels: int = 256
+    stacked_convs: int = 3
+    num_keypts: int = 294
+    num_reppts: int = 83
+    gradient_mul: float = 0.1
+    point_strides: Tuple[int, ...] = (32,)
+    point_base_scale: int = 4
+    transform_method: str = 'moment'
+    moment_mul: float = 0.01
+    norm: Optional[str] = 'gn'
+    gn_groups: int = 32
+    # per-stage loss weights (cls, bbox, kpt)
+    loss_cls_weights: Tuple[float, ...] = (0.5, 0.5, 1.0)
+    loss_bbox_weights: Tuple[float, ...] = (0.5, 0.5, 1.0)
+    loss_kpt_weights: Tuple[float, ...] = (0.5, 0.5, 1.0)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    smooth_l1_beta: float = 1.0 / 9.0
+
+
+@dataclass(frozen=True)
+class AssignConfig:
+    type: str = 'PointAssigner'
+    scale: int = 4
+    pos_num: int = 25
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    nms_pre: int = 1000
+    min_bbox_size: float = 0.0
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    max_per_class: int = 100
+    max_per_img: int = 100
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    type: str = 'sgd'
+    lr: float = 5e-3
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    grad_clip_norm: float = 35.0
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3
+    lr_step_epochs: Tuple[int, ...] = (8, 11)
+    lr_step_gamma: float = 0.1
+    total_epochs: int = 12
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    ann_file: str = ''
+    img_prefix: str = ''
+    img_scale: Tuple[int, int] = (1333, 800)
+    size_divisor: int = 32
+    flip_ratio: float = 0.5
+    max_gts: int = 32
+    batch_size: int = 8          # global batch
+    # two aspect-ratio buckets: landscape / portrait padded canvases
+    canvas_hw: Tuple[Tuple[int, int], ...] = ((800, 1344), (1344, 800))
+
+
+@dataclass(frozen=True)
+class KGDetConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    neck: NeckConfig = field(default_factory=NeckConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    assigner: AssignConfig = field(default_factory=AssignConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train_data: DataConfig = field(default_factory=DataConfig)
+    val_data: DataConfig = field(default_factory=DataConfig)
+    compute_dtype: str = 'float32'   # 'float32' | 'bfloat16'
+    work_dir: str = './work_dirs/kgdet'
+    seed: int = 0
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(path: str) -> KGDetConfig:
+    """Load a python config file that defines a ``config`` variable."""
+    ns = runpy.run_path(path)
+    cfg = ns.get('config')
+    if not isinstance(cfg, KGDetConfig):
+        raise TypeError(f'{path} must define config: KGDetConfig')
+    return cfg

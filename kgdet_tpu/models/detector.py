@@ -1,0 +1,65 @@
+"""Detector composition: backbone -> neck -> head (single-stage, keypointed).
+
+Parity reference: /root/reference/mmdetection/mmdet/models/detectors/
+single_stage.py:10-70 and reppoints_detector_kp.py:10-148 (composition only;
+loss/postprocess are functional and live in kgdet_tpu.core).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from kgdet_tpu.config import BACKBONES, DETECTORS, HEADS, NECKS, KGDetConfig
+from kgdet_tpu.models.fpn import FPN
+from kgdet_tpu.models.kgdet_head import KGDetHead
+from kgdet_tpu.models.resnet import ResNet
+
+BACKBONES.register(ResNet)
+NECKS.register(FPN)
+HEADS.register(KGDetHead)
+
+
+@DETECTORS.register
+class KGDetDetector(nn.Module):
+    """backbone -> FPN(select_out) -> 3-stage keypoint-guided cascade head."""
+    cfg: KGDetConfig
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3) normalized. Returns list-of-level head dicts."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
+        backbone_cls = BACKBONES.get(cfg.backbone.type)
+        backbone = backbone_cls(
+            depth=cfg.backbone.depth, num_stages=cfg.backbone.num_stages,
+            out_indices=cfg.backbone.out_indices, dtype=dtype,
+            name='backbone')
+        neck_cls = NECKS.get(cfg.neck.type)
+        neck = neck_cls(
+            in_channels=cfg.neck.in_channels,
+            out_channels=cfg.neck.out_channels,
+            start_level=cfg.neck.start_level, end_level=cfg.neck.end_level,
+            num_outs=cfg.neck.num_outs,
+            add_extra_convs=cfg.neck.add_extra_convs,
+            select_out=cfg.neck.select_out, norm=cfg.neck.norm,
+            gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
+        head_cls = HEADS.get(cfg.head.type)
+        head = head_cls(
+            num_classes=cfg.head.num_classes,
+            in_channels=cfg.head.in_channels,
+            feat_channels=cfg.head.feat_channels,
+            point_feat_channels=cfg.head.point_feat_channels,
+            stacked_convs=cfg.head.stacked_convs,
+            num_keypts=cfg.head.num_keypts,
+            gradient_mul=cfg.head.gradient_mul,
+            point_strides=cfg.head.point_strides,
+            point_base_scale=cfg.head.point_base_scale,
+            transform_method=cfg.head.transform_method,
+            moment_mul=cfg.head.moment_mul, norm=cfg.head.norm,
+            gn_groups=cfg.head.gn_groups, dtype=dtype, name='head')
+
+        feats = backbone(images)
+        pyramid = neck(feats)
+        return head(pyramid)

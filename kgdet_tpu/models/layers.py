@@ -1,0 +1,101 @@
+"""Shared NN building blocks (flax.linen, NHWC, mixed-precision friendly).
+
+Parity references: ConvModule / norm builders in
+/root/reference/mmdetection/mmdet/models/utils/conv_module.py:44-160 and
+norm.py:12-56 (conv -> norm -> act ordering, bias auto-disabled under norm).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def he_normal_init():
+    return nn.initializers.variance_scaling(2.0, 'fan_out', 'truncated_normal')
+
+
+def normal_init(std=0.01):
+    return nn.initializers.normal(stddev=std)
+
+
+def bias_init_with_prob(prior_prob=0.01):
+    """Focal-loss classification bias prior (reference utils/weight_init)."""
+    val = float(-np.log((1 - prior_prob) / prior_prob))
+    return nn.initializers.constant(val)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with permanently-frozen running statistics.
+
+    KGDet trains its ResNet trunk with BN in eval mode (norm_eval=True,
+    reference resnet.py:518-525): running mean/var come from the pretrained
+    checkpoint and never update; scale/bias remain trainable parameters
+    (frozen-stage params are masked out in the optimizer instead).
+    Stats live in the 'batch_stats' collection so converters can target them.
+    """
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((c,), jnp.float32))
+        inv = lax.rsqrt(var.value + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean.value) * inv + bias
+        return y.astype(self.dtype)
+
+
+class ConvModule(nn.Module):
+    """conv -> (norm) -> (act). Bias auto-disabled when a norm follows."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = 'SAME'
+    norm: Optional[str] = None          # None | 'gn' | 'frozen_bn'
+    gn_groups: int = 32
+    act: Optional[Callable] = nn.relu
+    use_bias: Optional[bool] = None
+    kernel_init: Callable = he_normal_init()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        use_bias = self.use_bias
+        if use_bias is None:
+            use_bias = self.norm is None
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides),
+                    padding=self.padding, use_bias=use_bias,
+                    kernel_init=self.kernel_init, bias_init=self.bias_init,
+                    dtype=self.dtype, name='conv')(x)
+        if self.norm == 'gn':
+            x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                             dtype=self.dtype, name='gn')(x)
+        elif self.norm == 'frozen_bn':
+            x = FrozenBatchNorm(dtype=self.dtype, name='bn')(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def max_pool_3x3_s2(x):
+    """3x3/2 max-pool with pad=1 (torch stem semantics: -inf padding)."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def upsample_nearest_2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

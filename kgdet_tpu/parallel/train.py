@@ -1,0 +1,163 @@
+"""Training step, optimizer, LR schedule, and data-parallel sharding.
+
+TPU-native distribution model (vs the reference's one-process-per-GPU NCCL
+setup, mmdet/apis/env.py + core/utils/dist_utils.py): single-controller JAX.
+The batch is sharded over the 'dp' mesh axis with jax.sharding; params are
+replicated; XLA inserts the gradient all-reduce. Loss avg_factors are computed
+over the *global* batch, so gradients are exactly the single-program gradients
+regardless of device count. Multi-host runs only need
+jax.distributed.initialize() before building the mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kgdet_tpu.config import KGDetConfig
+from kgdet_tpu.core.loss import kgdet_loss
+from kgdet_tpu.core.targets import point_targets
+from kgdet_tpu.ops.points import grid_points, valid_flags
+
+
+# --------------------------------------------------------------- LR schedule
+def make_lr_schedule(cfg, steps_per_epoch: int):
+    """mmcv-style linear warmup + step decay at epoch boundaries.
+
+    Parity: lr_config in configs/kgdet_moment_r50_fpn_1x-deepfashion2.py:133-138
+    (warmup 500 iters from lr/3, x0.1 at epochs 8 and 11).
+    """
+    o = cfg.optim
+    boundaries = jnp.asarray(
+        [e * steps_per_epoch for e in o.lr_step_epochs], jnp.int32)
+
+    def schedule(step):
+        decay = o.lr_step_gamma ** jnp.sum(step >= boundaries)
+        base = o.lr * decay
+        frac = jnp.clip(step / max(o.warmup_iters, 1), 0.0, 1.0)
+        k = (1 - frac) * (1 - o.warmup_ratio)
+        warm = base * (1 - k)
+        return jnp.where(step < o.warmup_iters, warm, base)
+
+    return schedule
+
+
+# ------------------------------------------------------------- frozen params
+def frozen_param_mask(params, frozen_stages: int):
+    """True for params that must NOT be updated (stem + stages <= frozen).
+
+    Parity: ResNet._freeze_stages (reference resnet.py:466-475).
+    """
+    frozen_prefixes = []
+    if frozen_stages >= 0:
+        frozen_prefixes += ['backbone/conv1', 'backbone/bn1']
+    for s in range(1, frozen_stages + 1):
+        frozen_prefixes.append(f'backbone/layer{s}')
+
+    def is_frozen(path):
+        return any(path.startswith(p) for p in frozen_prefixes)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def mask_fn(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, _: is_frozen(
+                '/'.join(str(getattr(k, 'key', k)) for k in kp)), tree)
+    return mask_fn(params)
+
+
+def make_optimizer(cfg: KGDetConfig, params, steps_per_epoch: int):
+    """SGD + momentum + wd 1e-4 + global-norm clip 35 + warmup/step LR.
+
+    Parity: optimizer/optimizer_config in the reference config:129-131 and
+    DistOptimizerHook (dist_utils.py:44-58). Frozen-stage params get zero
+    updates (the JAX equivalent of requires_grad=False).
+    """
+    o = cfg.optim
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    frozen = frozen_param_mask(params, cfg.backbone.frozen_stages)
+    tx = optax.chain(
+        optax.clip_by_global_norm(o.grad_clip_norm),
+        optax.add_decayed_weights(o.weight_decay),
+        optax.trace(decay=o.momentum, nesterov=False),
+        optax.scale_by_learning_rate(schedule),
+        optax.masked(optax.set_to_zero(), frozen),
+    )
+    return tx, schedule
+
+
+# ------------------------------------------------------------------ targets
+def build_level_geometry(cfg: KGDetConfig, canvas_hw):
+    """Static per-level grids for a padded canvas."""
+    H, W = canvas_hw
+    grids = []
+    for stride in cfg.head.point_strides:
+        fh, fw = H // stride, W // stride
+        grids.append(grid_points(fh, fw, stride))
+    return grids
+
+
+def batch_valid_flags(cfg: KGDetConfig, canvas_hw, valid_hw):
+    """(B, P) per-level valid masks from per-image padded extents (pixels)."""
+    H, W = canvas_hw
+    outs = []
+    for stride in cfg.head.point_strides:
+        fh, fw = H // stride, W // stride
+        vh = jnp.ceil(valid_hw[:, 0] / stride).astype(jnp.int32)
+        vw = jnp.ceil(valid_hw[:, 1] / stride).astype(jnp.int32)
+        outs.append(jax.vmap(lambda a, b: valid_flags(fh, fw, a, b))(vh, vw))
+    return outs
+
+
+# --------------------------------------------------------------- train step
+def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
+    """Build the jittable (state, batch) -> (state, logs) train step."""
+    grids = build_level_geometry(cfg, canvas_hw)
+
+    def loss_fn(params, batch_stats, batch):
+        outs = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, batch['image'])
+        valids = batch_valid_flags(cfg, canvas_hw, batch['valid_hw'])
+        targets = [
+            point_targets(g, v, batch['gt_bboxes'], batch['gt_labels'],
+                          batch['gt_kpts'], batch['gt_mask'],
+                          scale=cfg.assigner.scale,
+                          pos_num=cfg.assigner.pos_num)
+            for g, v in zip(grids, valids)
+        ]
+        total, logs = kgdet_loss(outs, grids, targets, cfg.head)
+        return total, logs
+
+    def train_step(params, batch_stats, opt_state, batch):
+        (loss, logs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        logs['loss'] = loss
+        logs['grad_norm'] = optax.global_norm(grads)
+        return params, opt_state, logs
+
+    return train_step
+
+
+# ------------------------------------------------------------------ sharding
+def make_mesh(n_devices: Optional[int] = None, axis: str = 'dp'):
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (axis,))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = 'dp'):
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
