@@ -1,0 +1,179 @@
+"""DeepFashion2 dataset: COCO-json annotations -> fixed-shape training arrays.
+
+TPU-first design: instead of the reference's variable-shape DataContainer
+batches (mmdet/datasets/custom.py:200-381 + mmcv collate), every sample is
+rendered onto one of a small set of aspect-ratio-bucketed static canvases and
+GT arrays are padded to ``max_gts`` with an explicit mask, so the jitted train
+step sees only static shapes.
+
+Parity references: /root/reference/mmdetection/mmdet/datasets/coco.py:64-168
+(_filter_imgs/_parse_ann_info conventions: xyxy-inclusive boxes, 1-based
+labels, (N, 294, 3) keypoints) and deepfashion2.py:8-99.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from kgdet_tpu.config import DataConfig
+from kgdet_tpu.data.deepfashion2_meta import (
+    CLASSES, NUM_KEYPOINTS)
+from kgdet_tpu.data.transforms import (
+    flip_bboxes, flip_keypoints, imnormalize, imrescale, pad_to_canvas)
+from kgdet_tpu.eval.coco import CocoIndex
+
+
+@dataclass
+class ImageRecord:
+    img_id: int
+    filename: str
+    height: int
+    width: int
+
+
+class DeepFashion2Dataset:
+    """Map-style dataset over a COCO-format DeepFashion2 annotation file."""
+
+    def __init__(self, cfg: DataConfig, train: bool = True,
+                 min_size: int = 32, min_keypoints: int = 0,
+                 filter_empty: Optional[bool] = None):
+        self.cfg = cfg
+        self.train = train
+        self.coco = CocoIndex(cfg.ann_file)
+        self.cat_ids = self.coco.cat_ids
+        self.cat2label = {c: i + 1 for i, c in enumerate(self.cat_ids)}
+        if filter_empty is None:
+            filter_empty = train
+        self.records: List[ImageRecord] = []
+        for img_id in self.coco.img_ids:
+            info = self.coco.imgs[img_id]
+            if train and min(info['width'], info['height']) < min_size:
+                continue
+            anns = self.coco.anns_for_img(img_id)
+            if filter_empty and not any(
+                    not a.get('iscrowd', 0) for a in anns):
+                continue
+            if min_keypoints > 0 and not any(
+                    np.count_nonzero(np.asarray(
+                        a.get('keypoints', []))[2::3]) >= min_keypoints
+                    for a in anns if a.get('keypoints')):
+                continue
+            self.records.append(ImageRecord(
+                img_id, info['file_name'], info['height'], info['width']))
+        # aspect-ratio group flag (reference custom.py:174-188)
+        self.flags = np.array(
+            [1 if r.width / r.height > 1 else 0 for r in self.records],
+            dtype=np.int64)
+
+    def __len__(self):
+        return len(self.records)
+
+    # ------------------------------------------------------------- parsing
+    def parse_annotations(self, img_id: int):
+        """GT arrays for one image: boxes xyxy-inclusive, 1-based labels,
+        (N, 294, 3) keypoints."""
+        bboxes, labels, kpts = [], [], []
+        for ann in self.coco.anns_for_img(img_id):
+            if ann.get('iscrowd', 0):
+                continue
+            x1, y1, w, h = ann['bbox']
+            if ann.get('area', w * h) <= 0 or w < 1 or h < 1:
+                continue
+            bboxes.append([x1, y1, x1 + w - 1, y1 + h - 1])
+            labels.append(self.cat2label[ann['category_id']])
+            kp = np.asarray(ann.get('keypoints', []), dtype=np.float32)
+            if kp.size == 0:
+                kp = np.zeros((NUM_KEYPOINTS, 3), np.float32)
+            else:
+                kp = kp.reshape(-1, 3)
+            kpts.append(kp)
+        if not bboxes:
+            return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int64),
+                    np.zeros((0, NUM_KEYPOINTS, 3), np.float32))
+        return (np.asarray(bboxes, np.float32),
+                np.asarray(labels, np.int64),
+                np.stack(kpts).astype(np.float32))
+
+    def load_image(self, record: ImageRecord) -> np.ndarray:
+        path = os.path.join(self.cfg.img_prefix, record.filename)
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+
+    def canvas_for_flag(self, flag: int) -> Tuple[int, int]:
+        """Landscape images (flag 1) -> short-side-height canvas."""
+        canvases = self.cfg.canvas_hw
+        if len(canvases) == 1:
+            return canvases[0]
+        return canvases[0] if flag == 1 else canvases[1]
+
+    # ------------------------------------------------------------ train path
+    def prepare_train(self, idx: int, rng: np.random.RandomState) -> Dict:
+        record = self.records[idx]
+        img = self.load_image(record)
+        bboxes, labels, kpts = self.parse_annotations(record.img_id)
+
+        img, sf = imrescale(img, self.cfg.img_scale)
+        rh, rw = img.shape[:2]
+        img = imnormalize(img)
+        bboxes = bboxes * sf
+        kpts = kpts.copy()
+        vis = kpts[..., 2] > 0
+        kpts[..., 0] = np.where(vis, kpts[..., 0] * sf, kpts[..., 0])
+        kpts[..., 1] = np.where(vis, kpts[..., 1] * sf, kpts[..., 1])
+
+        if self.cfg.flip_ratio > 0 and rng.rand() < self.cfg.flip_ratio:
+            img = img[:, ::-1]
+            bboxes = flip_bboxes(bboxes, rw)
+            kpts = flip_keypoints(kpts, labels, rw)
+
+        canvas = self.canvas_for_flag(self.flags[idx])
+        img = pad_to_canvas(np.ascontiguousarray(img), canvas)
+
+        G = self.cfg.max_gts
+        n = min(len(bboxes), G)
+        out_bboxes = np.zeros((G, 4), np.float32)
+        out_labels = np.zeros((G,), np.int32)
+        out_kpts = np.zeros((G, NUM_KEYPOINTS, 3), np.float32)
+        out_mask = np.zeros((G,), bool)
+        out_bboxes[:n] = bboxes[:n]
+        out_labels[:n] = labels[:n]
+        out_kpts[:n] = kpts[:n]
+        out_mask[:n] = True
+        return {
+            'image': img.astype(np.float32),
+            'valid_hw': np.array([rh, rw], np.int32),
+            'gt_bboxes': out_bboxes,
+            'gt_labels': out_labels,
+            'gt_kpts': out_kpts,
+            'gt_mask': out_mask,
+        }
+
+    # ------------------------------------------------------------- test path
+    def prepare_test(self, idx: int) -> Dict:
+        record = self.records[idx]
+        img = self.load_image(record)
+        img, sf = imrescale(img, self.cfg.img_scale)
+        rh, rw = img.shape[:2]
+        img = imnormalize(img)
+        canvas = self.canvas_for_flag(self.flags[idx])
+        img = pad_to_canvas(np.ascontiguousarray(img), canvas)
+        return {
+            'image': img.astype(np.float32),
+            'img_hw': np.array([rh, rw], np.float32),
+            'scale_factor': np.float32(sf),
+            'img_id': record.img_id,
+        }
+
+    @property
+    def class_names(self):
+        return CLASSES

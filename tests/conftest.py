@@ -1,6 +1,8 @@
 """Test harness config: run all tests on a virtual 8-device CPU mesh.
 
 Must set env vars before jax initializes; pytest imports conftest first.
+The persistent compilation cache makes repeated runs cheap on the 1-core CI
+host.
 """
 import os
 
@@ -9,6 +11,9 @@ flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/jax_kgdet'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
 import pytest  # noqa: E402
 
