@@ -33,23 +33,27 @@ def main():
     predict = make_predict_fn(model, cfg, canvas)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randn(batch, canvas[0], canvas[1], 3).astype(np.float32))
-    feed = {
-        'image': images,
-        'img_hw': jnp.tile(jnp.array([[750, 1333]], jnp.float32), (batch, 1)),
-        'scale_factor': jnp.ones((batch,), jnp.float32),
-    }
+    # several distinct feeds: identical repeated inputs can be memoized by
+    # remote-execution layers, which would fake the timing
+    feeds = []
+    for _ in range(4):
+        feeds.append({
+            'image': jnp.asarray(rng.randn(
+                batch, canvas[0], canvas[1], 3).astype(np.float32)),
+            'img_hw': jnp.tile(
+                jnp.array([[750, 1333]], jnp.float32), (batch, 1)),
+            'scale_factor': jnp.ones((batch,), jnp.float32),
+        })
 
     # warmup / compile
-    out = predict(variables, feed)
+    out = predict(variables, feeds[0])
     jax.block_until_ready(out)
 
     n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = predict(variables, feed)
-    jax.block_until_ready(out)
+    for i in range(n_iters):
+        out = predict(variables, feeds[i % len(feeds)])
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     fps = n_iters * batch / dt

@@ -6,4 +6,14 @@ configs -> model builder -> data pipeline -> train/eval loops ->
 DeepFashion2-compatible JSON results + COCO/OKS evaluation.
 """
 
+import os as _os
+
 __version__ = '0.1.0'
+
+# Persistent XLA compilation cache: full-model compiles are expensive (and on
+# this environment go through a remote-compile tunnel), so cache them across
+# processes. Overridable via the standard env vars.
+_os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    _os.path.expanduser('~/.cache/jax_kgdet'))
+_os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')

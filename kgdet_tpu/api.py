@@ -27,7 +27,8 @@ def init_variables(model, cfg: KGDetConfig, rng=None, canvas_hw=(64, 64)):
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
     x = jnp.zeros((1, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
-    variables = model.init(rng, x)
+    # jit the init: eager op-by-op init is pathologically slow on small hosts
+    variables = jax.jit(model.init)(rng, x)
     return dict(variables)
 
 
@@ -57,3 +58,86 @@ def make_forward_fn(model, cfg: KGDetConfig):
         return model.apply(variables, images)
 
     return forward
+
+
+# --------------------------------------------------- single-image inference
+class Detector:
+    """Convenience single-image inference handle.
+
+    Parity surface: init_detector / inference_detector
+    (reference mmdet/apis/inference.py:16-96). Jit caches are keyed by canvas
+    bucket, so repeated calls of any image size stay compiled.
+    """
+
+    def __init__(self, cfg: KGDetConfig, variables):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.variables = variables
+        self._predict_fns = {}
+
+    def _predict_for(self, canvas):
+        if canvas not in self._predict_fns:
+            self._predict_fns[canvas] = make_predict_fn(
+                self.model, self.cfg, canvas)
+        return self._predict_fns[canvas]
+
+    def __call__(self, img):
+        """img: BGR uint8 (H, W, 3) array or image path.
+
+        Returns (dets (N, 5) xyxy+score, labels (N,), kpts (N, K, 3)) in
+        original image coordinates.
+        """
+        import cv2
+
+        from kgdet_tpu.data.transforms import (
+            imnormalize, imrescale, pad_to_canvas)
+
+        if isinstance(img, str):
+            img = cv2.imread(img)
+            if img is None:
+                raise FileNotFoundError(img)
+        h, w = img.shape[:2]
+        data = self.cfg.val_data
+        resized, sf = imrescale(img, data.img_scale)
+        rh, rw = resized.shape[:2]
+        canvas = data.canvas_hw[0 if rw >= rh else (len(data.canvas_hw) - 1)]
+        x = pad_to_canvas(imnormalize(resized).astype(np.float32), canvas)
+        feed = {
+            'image': jnp.asarray(x[None]),
+            'img_hw': jnp.asarray([[rh, rw]], jnp.float32),
+            'scale_factor': jnp.asarray([sf], jnp.float32),
+        }
+        dets = self._predict_for(tuple(canvas))(self.variables, feed)
+        valid = np.asarray(dets['valid'][0])
+        boxes = np.asarray(dets['det_bboxes'][0])[valid]
+        labels = np.asarray(dets['det_labels'][0])[valid]
+        kpts = np.asarray(dets['det_kpts'][0])[valid].reshape(
+            -1, self.cfg.head.num_keypts, 3)
+        return boxes, labels, kpts
+
+
+def init_detector(config_path_or_cfg, checkpoint=None, pth=None) -> Detector:
+    """Build a ready-to-call Detector from a config + checkpoint."""
+    from kgdet_tpu.config import load_config
+
+    cfg = config_path_or_cfg
+    if isinstance(cfg, str):
+        cfg = load_config(cfg)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+    if pth is not None:
+        from kgdet_tpu.utils.torch_convert import (
+            convert_pth, merge_into_variables)
+        params, stats, _ = convert_pth(pth)
+        variables = merge_into_variables(variables, params, stats)
+    elif checkpoint is not None:
+        from kgdet_tpu.utils.checkpoint import load_params
+        restored = load_params(checkpoint)
+        variables = {'params': restored.get('params', restored),
+                     'batch_stats': restored.get('batch_stats', {})}
+    return Detector(cfg, variables)
+
+
+def inference_detector(detector: Detector, img):
+    """Functional alias matching the reference API name."""
+    return detector(img)

@@ -98,8 +98,13 @@ class HeadConfig:
 @dataclass(frozen=True)
 class AssignConfig:
     type: str = 'PointAssigner'
+    # PointAssigner
     scale: int = 4
     pos_num: int = 25
+    # MaxIoUAssigner (refine-stage assignment for serial/parallel heads)
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    min_pos_iou: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -145,6 +150,8 @@ class KGDetConfig:
     neck: NeckConfig = field(default_factory=NeckConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
     assigner: AssignConfig = field(default_factory=AssignConfig)
+    # refine-stage assigner for init/refine heads (serial/parallel)
+    refine_assigner: Optional[AssignConfig] = None
     test: TestConfig = field(default_factory=TestConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: DataConfig = field(default_factory=DataConfig)

@@ -91,3 +91,77 @@ def kgdet_loss(level_outs: List[Dict], level_points: Sequence,
 
     logs['num_pos'] = avg
     return total, logs
+
+
+def serial_loss(level_outs, level_points, init_targets, refine_targets,
+                head_cfg: HeadConfig):
+    """Init/refine loss for the serial/parallel heads.
+
+    5 terms per level: focal cls (refine labels), smooth-L1 bbox init/refine,
+    smooth-L1 kpt init/refine; separate avg factors for the two stages; kpt
+    weights normalized per-instance by visible count (no x4 — the stage loss
+    weights carry the 2.0/4.0 scaling).
+
+    Weight layout in head_cfg: loss_cls_weights[0], loss_bbox_weights =
+    (init, refine), loss_kpt_weights = (init, refine).
+
+    Parity: reppoints_head_kp_serial.py:423-493.
+    """
+    num_classes = head_cfg.num_classes
+    logs: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    avg_init = sum(jnp.sum(t.num_pos)
+                   for t in init_targets).astype(jnp.float32)
+    avg_refine = sum(jnp.sum(t.num_pos)
+                     for t in refine_targets).astype(jnp.float32)
+
+    def norm_kpt_weights(w):
+        pos = w.sum(axis=1, keepdims=True)
+        return jnp.where(pos > 0, w / jnp.maximum(pos, 1), w)
+
+    for lvl, (outs, points, ti, tr) in enumerate(zip(
+            level_outs, level_points, init_targets, refine_targets)):
+        stride = points[0, 2]
+        norm = head_cfg.point_base_scale * stride
+        centers = points[:, :2]
+        B = outs['cls'].shape[1]
+        P = centers.shape[0]
+
+        cls_flat = outs['cls'][-1].astype(jnp.float32).reshape(
+            -1, num_classes)
+        l_cls = sigmoid_focal_loss(
+            cls_flat, tr.labels.reshape(-1), tr.label_weights.reshape(-1),
+            gamma=head_cfg.focal_gamma, alpha=head_cfg.focal_alpha,
+            avg_factor=avg_refine) * head_cfg.loss_cls_weights[0]
+        total = total + l_cls
+        logs[f'loss_cls_lvl{lvl}'] = l_cls
+
+        for stage, (tgt, avg, name) in enumerate(
+                ((ti, avg_init, 'init'), (tr, avg_refine, 'refine'))):
+            bbox_off = outs['bbox'][stage].astype(jnp.float32).reshape(
+                B, P, 4)
+            bbox_pred = offsets_to_coords(
+                bbox_off, centers, stride, y_first=False).reshape(-1, 4)
+            l_bbox = smooth_l1_loss(
+                bbox_pred / norm, tgt.bbox_gt.reshape(-1, 4) / norm,
+                tgt.bbox_weights.reshape(-1, 4),
+                beta=head_cfg.smooth_l1_beta,
+                avg_factor=avg) * head_cfg.loss_bbox_weights[stage]
+
+            kpt_off = outs['kpt'][stage].astype(jnp.float32).reshape(
+                B, P, -1)
+            kpt_pred = offsets_to_coords(
+                kpt_off, centers, stride, y_first=True).reshape(B * P, -1)
+            kpt_w = norm_kpt_weights(tgt.kpt_weights.reshape(B * P, -1))
+            l_kpt = smooth_l1_loss(
+                kpt_pred / norm, tgt.kpt_gt.reshape(B * P, -1) / norm,
+                kpt_w, beta=head_cfg.smooth_l1_beta,
+                avg_factor=avg) * head_cfg.loss_kpt_weights[stage]
+
+            total = total + l_bbox + l_kpt
+            logs[f'loss_bbox_{name}_lvl{lvl}'] = l_bbox
+            logs[f'loss_kpt_{name}_lvl{lvl}'] = l_kpt
+
+    logs['num_pos_init'] = avg_init
+    logs['num_pos_refine'] = avg_refine
+    return total, logs

@@ -82,6 +82,47 @@ def assign_points_single(points, point_valid, gt_bboxes, gt_mask,
     return assigned_gt.astype(jnp.int32), pos_mask
 
 
+def _targets_from_assignment(assigned, pos, ignore, valid, bboxes, labels,
+                             kpts):
+    """Scatter GT boxes/labels/keypoints onto assigned grid slots."""
+    K = kpts.shape[1]
+    posf = pos.astype(jnp.float32)
+    labels_out = jnp.where(pos, labels[assigned], 0)
+    label_weights = (valid & ~ignore).astype(jnp.float32)
+    bbox_gt = bboxes[assigned] * posf[:, None]
+    bbox_weights = jnp.broadcast_to(posf[:, None], bbox_gt.shape)
+    kp = kpts[assigned]                                     # (P, K, 3)
+    kpt_gt = (kp[:, :, :2] * posf[:, None, None]).reshape(-1, K * 2)
+    vis = (kp[:, :, 2] != 0).astype(jnp.float32) * posf[:, None]
+    kpt_weights = jnp.repeat(vis, 2, axis=-1)               # (P, K*2)
+    num_pos = jnp.maximum(pos.sum().astype(jnp.int32), 1)
+    return (labels_out.astype(jnp.int32), label_weights, bbox_gt,
+            bbox_weights, kpt_gt, kpt_weights, num_pos)
+
+
+def max_iou_targets(candidates, cand_valid, gt_bboxes, gt_labels, gt_kpts,
+                    gt_mask, pos_iou_thr=0.5, neg_iou_thr=0.4,
+                    min_pos_iou=0.0):
+    """Batched refine-stage targets via MaxIoU assignment over candidate boxes.
+
+    candidates: (B, P, 4) decoded init boxes; other args as point_targets.
+    Parity: point_target_kp with a MaxIoUAssigner cfg (serial/parallel refine
+    stage, reppoints_head_kp_serial.py:548-575).
+    """
+    from kgdet_tpu.core.iou_assign import assign_max_iou
+
+    def single(cand, valid, bboxes, labels, kpts, mask):
+        a = assign_max_iou(cand, valid, bboxes, mask,
+                           pos_iou_thr, neg_iou_thr, min_pos_iou)
+        return _targets_from_assignment(
+            a.assigned_gt, a.pos_mask, a.ignore_mask, valid, bboxes, labels,
+            kpts)
+
+    outs = jax.vmap(single)(candidates, cand_valid, gt_bboxes, gt_labels,
+                            gt_kpts, gt_mask)
+    return PointTargets(*outs)
+
+
 def point_targets(points, point_valid, gt_bboxes, gt_labels, gt_kpts,
                   gt_mask, scale=4, pos_num=25):
     """Batched cls/bbox/keypoint targets (parity: point_target_kp).
@@ -96,18 +137,9 @@ def point_targets(points, point_valid, gt_bboxes, gt_labels, gt_kpts,
     def single(valid, bboxes, labels, kpts, mask):
         assigned, pos = assign_points_single(
             points, valid, bboxes, mask, scale, pos_num)
-        posf = pos.astype(jnp.float32)
-        labels_out = jnp.where(pos, labels[assigned], 0)
-        label_weights = valid.astype(jnp.float32)
-        bbox_gt = bboxes[assigned] * posf[:, None]
-        bbox_weights = jnp.broadcast_to(posf[:, None], bbox_gt.shape)
-        kp = kpts[assigned]                                     # (P, K, 3)
-        kpt_gt = (kp[:, :, :2] * posf[:, None, None]).reshape(-1, K * 2)
-        vis = (kp[:, :, 2] != 0).astype(jnp.float32) * posf[:, None]
-        kpt_weights = jnp.repeat(vis, 2, axis=-1)               # (P, K*2)
-        num_pos = jnp.maximum(pos.sum().astype(jnp.int32), 1)
-        return (labels_out.astype(jnp.int32), label_weights, bbox_gt,
-                bbox_weights, kpt_gt, kpt_weights, num_pos)
+        ignore = jnp.zeros_like(pos)
+        return _targets_from_assignment(assigned, pos, ignore, valid,
+                                        bboxes, labels, kpts)
 
     outs = jax.vmap(single)(point_valid, gt_bboxes, gt_labels, gt_kpts,
                             gt_mask)

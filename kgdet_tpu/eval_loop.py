@@ -1,0 +1,119 @@
+"""Dataset-level inference + COCO bbox/keypoint evaluation.
+
+Replaces the reference's tools/test.py multi_gpu_test + filesystem rendezvous
+(tools/test.py:38-100): inference runs in canvas-bucketed batches under jit,
+results are deduped by image id (the grouped loader wrap-pads partial
+batches), converted to COCO JSON, and scored by the pure-NumPy DeepFashion2
+evaluator (294-sigma OKS).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kgdet_tpu.config import KGDetConfig
+from kgdet_tpu.core.postprocess import decode_detections
+from kgdet_tpu.data.loader import DataLoader
+from kgdet_tpu.eval.cocoeval import CocoEvaluator
+from kgdet_tpu.eval.json_writer import dump_results
+from kgdet_tpu.parallel.train import build_level_geometry
+
+
+def make_predict_fns(model, cfg: KGDetConfig, canvases):
+    """One jitted predict per canvas bucket (static shapes)."""
+    fns = {}
+    for canvas in canvases:
+        grids = build_level_geometry(cfg, canvas)
+
+        def predict(variables, batch, grids=grids):
+            outs = model.apply(variables, batch['image'])
+            return decode_detections(
+                outs, grids, batch['img_hw'], batch['scale_factor'],
+                cfg.test, num_keypts=cfg.head.num_keypts)
+
+        fns[tuple(canvas)] = jax.jit(predict)
+    return fns
+
+
+def run_inference(model, variables, cfg: KGDetConfig, loader: DataLoader,
+                  verbose: bool = True):
+    """Run the detector over a test loader; returns {img_id: detections}.
+
+    Detections are (dets (N, 5), labels (N,), kpts (N, K*3)) numpy tuples in
+    original-image coordinates, deduped by img_id.
+    """
+    predict_fns = make_predict_fns(
+        model, cfg, cfg.val_data.canvas_hw)
+    results: Dict[int, tuple] = {}
+    t0 = time.time()
+    n_done = 0
+    for batch in loader:
+        canvas = tuple(batch['image'].shape[1:3])
+        if canvas not in predict_fns:
+            raise KeyError(f'no predict fn for canvas {canvas}; '
+                           f'have {list(predict_fns)}')
+        feed = {
+            'image': jnp.asarray(batch['image']),
+            'img_hw': jnp.asarray(batch['img_hw']),
+            'scale_factor': jnp.asarray(batch['scale_factor']),
+        }
+        dets = predict_fns[canvas](variables, feed)
+        det_bboxes = np.asarray(dets['det_bboxes'])
+        det_labels = np.asarray(dets['det_labels'])
+        det_kpts = np.asarray(dets['det_kpts'])
+        valid = np.asarray(dets['valid'])
+        for i, img_id in enumerate(batch['img_id'].tolist()):
+            if img_id in results:
+                continue
+            v = valid[i]
+            results[img_id] = (det_bboxes[i][v], det_labels[i][v],
+                               det_kpts[i][v])
+            n_done += 1
+        if verbose:
+            dt = time.time() - t0
+            print(f'\r[eval] {n_done} imgs, {n_done / max(dt, 1e-6):.1f} '
+                  f'img/s', end='', flush=True)
+    if verbose:
+        print()
+    return results
+
+
+def evaluate_results(results: Dict[int, tuple], dataset,
+                     out_prefix: Optional[str] = None,
+                     iou_types=('bbox', 'keypoints'), verbose: bool = True):
+    """results -> COCO JSON -> AP stats dict (parity: coco_utils.coco_eval)."""
+    img_ids = sorted(results.keys())
+    per_img = [results[i] for i in img_ids]
+    if out_prefix is None:
+        out_prefix = '/tmp/kgdet_eval'
+    os.makedirs(os.path.dirname(os.path.abspath(out_prefix)), exist_ok=True)
+    files = dump_results(per_img, img_ids, dataset.cat_ids, out_prefix)
+
+    stats = {}
+    for iou_type in iou_types:
+        res_file = files['bbox' if iou_type == 'bbox' else 'keypoints']
+        dt = dataset.coco.load_results(res_file)
+        ev = CocoEvaluator(dataset.coco, dt, iou_type)
+        ev.params.img_ids = img_ids
+        ev.evaluate()
+        ev.accumulate()
+        s = ev.summarize(verbose=verbose)
+        stats[iou_type] = s
+    return stats, files
+
+
+def run_eval(model, variables, cfg: KGDetConfig, dataset,
+             batch_size: Optional[int] = None, out_prefix=None,
+             num_workers: int = 2, verbose: bool = True):
+    """Full inference + evaluation pipeline; returns the AP stats dict."""
+    loader = DataLoader(
+        dataset, batch_size or max(cfg.val_data.batch_size, 1), train=False,
+        num_workers=num_workers,
+        num_shards=jax.process_count(), shard_id=jax.process_index())
+    results = run_inference(model, variables, cfg, loader, verbose=verbose)
+    return evaluate_results(results, dataset, out_prefix, verbose=verbose)

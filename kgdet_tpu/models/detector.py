@@ -15,10 +15,12 @@ from kgdet_tpu.config import BACKBONES, DETECTORS, HEADS, NECKS, KGDetConfig
 from kgdet_tpu.models.fpn import FPN
 from kgdet_tpu.models.kgdet_head import KGDetHead
 from kgdet_tpu.models.resnet import ResNet
+from kgdet_tpu.models.serial_head import SerialKpHead
 
 BACKBONES.register(ResNet)
 NECKS.register(FPN)
 HEADS.register(KGDetHead)
+HEADS.register(SerialKpHead)
 
 
 @DETECTORS.register
@@ -45,8 +47,7 @@ class KGDetDetector(nn.Module):
             add_extra_convs=cfg.neck.add_extra_convs,
             select_out=cfg.neck.select_out, norm=cfg.neck.norm,
             gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
-        head_cls = HEADS.get(cfg.head.type)
-        head = head_cls(
+        head_kwargs = dict(
             num_classes=cfg.head.num_classes,
             in_channels=cfg.head.in_channels,
             feat_channels=cfg.head.feat_channels,
@@ -59,6 +60,16 @@ class KGDetDetector(nn.Module):
             transform_method=cfg.head.transform_method,
             moment_mul=cfg.head.moment_mul, norm=cfg.head.norm,
             gn_groups=cfg.head.gn_groups, dtype=dtype, name='head')
+        head_type = cfg.head.type
+        if head_type == 'ParallelKpHead':
+            head_cls = HEADS.get('SerialKpHead')
+            head_kwargs.update(parallel=True, num_reppts=cfg.head.num_reppts)
+        elif head_type == 'SerialKpHead':
+            head_cls = HEADS.get('SerialKpHead')
+            head_kwargs.update(parallel=False, num_reppts=cfg.head.num_reppts)
+        else:
+            head_cls = HEADS.get(head_type)
+        head = head_cls(**head_kwargs)
 
         feats = backbone(images)
         pyramid = neck(feats)

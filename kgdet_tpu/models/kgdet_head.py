@@ -75,22 +75,27 @@ class KpRepBlock(nn.Module):
         cat_feat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
         samples = deform_sample(cat_feat, offs)  # (B, P, 83, 2C)
 
-        cls_cols, kpt_cols = [], []
-        start = 0
-        for ci, k in enumerate(COLUMN_TAPS):
-            ksz = (3, 5, 7)[ci]
-            col = lax.slice_in_dim(samples, start, start + k, axis=2)
-            start += k
-            for branch, cols in (('cls', cls_cols), ('keypts', kpt_cols)):
-                w = self.param(f'{branch}_dfmconv_{ksz}',
-                               normal_init(0.01),
-                               (k, C, self.feat_channels), jnp.float32)
-                c_in = col[..., :C] if branch == 'cls' else col[..., C:]
-                cols.append(nn.relu(deform_conv_from_samples(
-                    c_in, w.astype(self.dtype))))
+        # The 3 columns of each branch fold into ONE block-diagonal MXU
+        # contraction: W[k, :, col(k)*F:] holds column col(k)'s weights and
+        # zeros elsewhere, so no k-axis slicing (copies) and no per-column
+        # einsum launches. relu(concat(cols)) == concat(relu(cols)).
+        F = self.feat_channels
+        branch_w = {}
+        for branch in ('cls', 'keypts'):
+            blocks = []
+            for ci, k in enumerate(COLUMN_TAPS):
+                ksz = (3, 5, 7)[ci]
+                w = self.param(f'{branch}_dfmconv_{ksz}', normal_init(0.01),
+                               (k, C, F), jnp.float32).astype(self.dtype)
+                row = [jnp.zeros((k, C, F), self.dtype)] * 3
+                row[ci] = w
+                blocks.append(jnp.concatenate(row, axis=-1))  # (k, C, 3F)
+            branch_w[branch] = jnp.concatenate(blocks, axis=0)  # (83, C, 3F)
 
-        cls_cat = jnp.concatenate(cls_cols, axis=-1)  # (B, P, 3F)
-        kpt_cat = jnp.concatenate(kpt_cols, axis=-1)
+        cls_cat = nn.relu(deform_conv_from_samples(
+            samples[..., :C], branch_w['cls']))        # (B, P, 3F)
+        kpt_cat = nn.relu(deform_conv_from_samples(
+            samples[..., C:], branch_w['keypts']))
         cls_out = dense(self.cls_out_channels, 'cls_out',
                         bias_init_with_prob(0.01))(cls_cat)
         keypts_out = dense(kpt_dim, 'keypts_out')(kpt_cat)

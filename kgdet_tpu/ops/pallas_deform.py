@@ -1,0 +1,159 @@
+"""Pallas TPU kernel for deformable bilinear sampling.
+
+XLA's gather lowering moves ~100GB/s on deformable-conv access patterns (the
+KGDet hot op: 83 taps x H*W pixels x 1024 channels, arbitrary positions).
+This kernel keeps the whole stride-32 feature map resident in VMEM and walks
+the taps with dynamic vector loads, so each tap costs two (2, 8, 128)-vreg
+reads instead of an HBM gather descriptor:
+
+  samples[b, p, k, :] = sum_{i,j in 2x2} w4[b, p, k, i, j] * feat[b, r_ij, :]
+
+Index/weight preparation (floor/frac/clamping, out-of-bounds zeroing) runs in
+XLA on small (B, P, K) tensors; the kernel is a pure weighted-gather.
+
+Backward runs the XLA reference implementation (kgdet_tpu.ops.deform) through
+jax.vjp — correctness identical, training pays the XLA gather price only on
+the backward pass.
+
+Parity: CUDA deformable_im2col (reference deform_conv_cuda_kernel.cu:84-245).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+TP = 16          # pixels per grid step (out block 2.7MB bf16 double-buffered)
+
+
+def _prep_indices(pos_yx, H, W):
+    """Row starts + 2x2 lerp weights from absolute (y, x) positions.
+
+    pos_yx: (B, P, K, 2) float. Returns starts (B, P, K, 2) int32 row indices
+    [r_top, r_bottom] into the (H*W)-flattened map, and w4 (B, P, K, 4) f32
+    weights ordered (tl, tr, bl, br) with out-of-bounds corners zeroed.
+    """
+    pos_dtype = jnp.promote_types(pos_yx.dtype, jnp.float32)
+    y = pos_yx[..., 0].astype(pos_dtype)
+    x = pos_yx[..., 1].astype(pos_dtype)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    dy = y - y0
+    dx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y0c = jnp.clip(y0i, 0, max(H - 2, 0))
+    x0c = jnp.clip(x0i, 0, max(W - 2, 0))
+
+    def axis_w(c0c, c0i, frac):
+        out = []
+        for slot in (0, 1):
+            cc = c0c + slot
+            out.append(jnp.where(cc == c0i, 1.0 - frac,
+                                 jnp.where(cc == c0i + 1, frac, 0.0)))
+        return out
+
+    wy = axis_w(y0c, y0i, dy)
+    wx = axis_w(x0c, x0i, dx)
+    w4 = jnp.stack([wy[0] * wx[0], wy[0] * wx[1],
+                    wy[1] * wx[0], wy[1] * wx[1]],
+                   axis=-1).astype(jnp.float32)
+    starts = jnp.stack([y0c * W + x0c, (y0c + 1) * W + x0c], axis=-1)
+    return starts, w4
+
+
+def _sample_kernel(starts_ref, w_ref, feat_ref, out_ref, *, K, n_lane_tiles):
+    """One (b, p-tile) step: gather TP*K taps from the VMEM-resident map.
+
+    feat_ref: (1, HW, 8*n_lane_tiles... flattened as (1, HW, S, LANE)).
+    out_ref: (1, TP, K, S, LANE).
+    """
+    def body(p, _):
+        # k unrolled: no div/mod on the hot path, more load-level ILP
+        for k in range(K):
+            r0 = starts_ref[0, 0, p, 2 * k]
+            r1 = starts_ref[0, 0, p, 2 * k + 1]
+            w00 = w_ref[0, 0, p, 4 * k]
+            w01 = w_ref[0, 0, p, 4 * k + 1]
+            w10 = w_ref[0, 0, p, 4 * k + 2]
+            w11 = w_ref[0, 0, p, 4 * k + 3]
+            top = feat_ref[0, pl.ds(r0, 2)]      # (2, S, LANE)
+            bot = feat_ref[0, pl.ds(r1, 2)]
+            val = (top[0].astype(jnp.float32) * w00
+                   + top[1].astype(jnp.float32) * w01
+                   + bot[0].astype(jnp.float32) * w10
+                   + bot[1].astype(jnp.float32) * w11)
+            out_ref[0, p, k] = val.astype(out_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, TP, body, 0)
+
+
+def deform_sample_pallas(feat, pos_yx):
+    """Pallas forward of bilinear sampling at absolute positions.
+
+    feat: (B, H, W, C) with C a multiple of 128; pos_yx: (B, P, K, 2).
+    Returns (B, P, K, C) in feat.dtype.
+    """
+    B, H, W, C = feat.shape
+    _, P, K, _ = pos_yx.shape
+    assert C % LANE == 0, C
+    S = C // LANE
+
+    starts, w4 = _prep_indices(pos_yx, H, W)
+    P_pad = -(-P // TP) * TP
+    if P_pad != P:
+        pad = [(0, 0), (0, P_pad - P), (0, 0), (0, 0)]
+        starts = jnp.pad(starts, pad)
+        w4 = jnp.pad(w4, pad)
+    # SMEM windows: make the block's trailing dims equal to the array dims
+    # (satisfies the (8, 128)-divisibility rule without tile padding)
+    starts = starts.reshape(B, P_pad // TP, TP, K * 2)
+    w4 = w4.reshape(B, P_pad // TP, TP, K * 4)
+
+    feat_r = feat.reshape(B, H * W, S, LANE)
+    n_pt = P_pad // TP
+
+    out = pl.pallas_call(
+        functools.partial(_sample_kernel, K=K, n_lane_tiles=S),
+        out_shape=jax.ShapeDtypeStruct((B, P_pad, K, S, LANE), feat.dtype),
+        grid=(B, n_pt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TP, K * 2), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TP, K * 4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H * W, S, LANE), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TP, K, S, LANE),
+                               lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(starts, w4, feat_r)
+    out = out.reshape(B, P_pad, K, C)
+    return out[:, :P] if P_pad != P else out
+
+
+@jax.custom_vjp
+def deform_sample_hybrid(feat, pos_yx):
+    """Pallas forward + XLA backward deformable sampling (absolute pos)."""
+    return deform_sample_pallas(feat, pos_yx)
+
+
+def _hybrid_fwd(feat, pos_yx):
+    return deform_sample_pallas(feat, pos_yx), (feat, pos_yx)
+
+
+def _hybrid_bwd(res, g):
+    from kgdet_tpu.ops.deform import bilinear_gather
+    feat, pos_yx = res
+    _, vjp = jax.vjp(bilinear_gather, feat, pos_yx)
+    return vjp(g)
+
+
+deform_sample_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)

@@ -20,8 +20,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kgdet_tpu.config import KGDetConfig
-from kgdet_tpu.core.loss import kgdet_loss
-from kgdet_tpu.core.targets import point_targets
+from kgdet_tpu.core.loss import kgdet_loss, serial_loss
+from kgdet_tpu.core.targets import max_iou_targets, point_targets
 from kgdet_tpu.ops.points import grid_points, valid_flags
 
 
@@ -81,10 +81,21 @@ def make_optimizer(cfg: KGDetConfig, params, steps_per_epoch: int):
     o = cfg.optim
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     frozen = frozen_param_mask(params, cfg.backbone.frozen_stages)
+    if o.type == 'sgd':
+        scale_steps = [
+            optax.add_decayed_weights(o.weight_decay),
+            optax.trace(decay=o.momentum, nesterov=False),
+        ]
+    elif o.type == 'adam':
+        scale_steps = [
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(o.weight_decay),
+        ]
+    else:
+        raise ValueError(f'unknown optimizer type: {o.type}')
     tx = optax.chain(
         optax.clip_by_global_norm(o.grad_clip_norm),
-        optax.add_decayed_weights(o.weight_decay),
-        optax.trace(decay=o.momentum, nesterov=False),
+        *scale_steps,
         optax.scale_by_learning_rate(schedule),
         optax.masked(optax.set_to_zero(), frozen),
     )
@@ -115,6 +126,38 @@ def batch_valid_flags(cfg: KGDetConfig, canvas_hw, valid_hw):
 
 
 # --------------------------------------------------------------- train step
+def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig):
+    """Dispatch target building + loss by head family."""
+    init_targets = [
+        point_targets(g, v, batch['gt_bboxes'], batch['gt_labels'],
+                      batch['gt_kpts'], batch['gt_mask'],
+                      scale=cfg.assigner.scale,
+                      pos_num=cfg.assigner.pos_num)
+        for g, v in zip(grids, valids)
+    ]
+    if cfg.head.type == 'KGDetHead':
+        return kgdet_loss(outs, grids, init_targets, cfg.head)
+
+    # init/refine heads: refine candidates are the decoded init boxes
+    ra = cfg.refine_assigner
+    if ra is None:
+        raise ValueError(f'{cfg.head.type} requires cfg.refine_assigner')
+    refine_targets = []
+    for o, g, v in zip(outs, grids, valids):
+        stride = g[0, 2]
+        centers = jnp.concatenate([g[:, :2], g[:, :2]], axis=-1)
+        bbox_off = jax.lax.stop_gradient(
+            o['bbox'][0].astype(jnp.float32))
+        B = bbox_off.shape[0]
+        cand = bbox_off.reshape(B, -1, 4) * stride + centers[None]
+        refine_targets.append(max_iou_targets(
+            cand, v, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_kpts'], batch['gt_mask'],
+            pos_iou_thr=ra.pos_iou_thr, neg_iou_thr=ra.neg_iou_thr,
+            min_pos_iou=ra.min_pos_iou))
+    return serial_loss(outs, grids, init_targets, refine_targets, cfg.head)
+
+
 def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
     """Build the jittable (state, batch) -> (state, logs) train step."""
     grids = build_level_geometry(cfg, canvas_hw)
@@ -123,14 +166,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
         outs = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['image'])
         valids = batch_valid_flags(cfg, canvas_hw, batch['valid_hw'])
-        targets = [
-            point_targets(g, v, batch['gt_bboxes'], batch['gt_labels'],
-                          batch['gt_kpts'], batch['gt_mask'],
-                          scale=cfg.assigner.scale,
-                          pos_num=cfg.assigner.pos_num)
-            for g, v in zip(grids, valids)
-        ]
-        total, logs = kgdet_loss(outs, grids, targets, cfg.head)
+        total, logs = compute_loss(outs, grids, valids, batch, cfg)
         return total, logs
 
     def train_step(params, batch_stats, opt_state, batch):
@@ -149,6 +185,10 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
 def make_mesh(n_devices: Optional[int] = None, axis: str = 'dp'):
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f'requested {n_devices}-device mesh but only {len(devs)} '
+                f'device(s) are visible ({jax.default_backend()} backend)')
         devs = devs[:n_devices]
     return Mesh(devs, (axis,))
 

@@ -1,0 +1,83 @@
+"""Inference + evaluation CLI (parity surface: reference tools/test.py).
+
+Usage:
+  python -m kgdet_tpu.tools.test configs/kgdet_moment_r50_fpn_1x_demo.py \
+      --checkpoint work_dirs/.../checkpoints/1000 \
+      [--load-pth KGDet_epoch-12.pth] \
+      [--json-out results] [--eval bbox keypoints] [--batch-size N]
+
+Emits {json_out}.bbox.json / {json_out}.keypoints.json in the reference's
+results2json format, then scores them with the DeepFashion2 COCO evaluator.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Test KGDet (TPU-native)')
+    p.add_argument('config')
+    p.add_argument('--checkpoint', default=None,
+                   help='Orbax train-state or variables checkpoint')
+    p.add_argument('--load-pth', default=None,
+                   help='PyTorch .pth checkpoint to convert and evaluate')
+    p.add_argument('--json-out', default=None)
+    p.add_argument('--eval', nargs='*', default=['bbox', 'keypoints'],
+                   choices=['bbox', 'keypoints'])
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--distributed', action='store_true')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from kgdet_tpu.api import build_model, init_variables
+    from kgdet_tpu.config import load_config
+    from kgdet_tpu.data.dataset import DeepFashion2Dataset
+    from kgdet_tpu.eval_loop import evaluate_results, run_inference
+    from kgdet_tpu.data.loader import DataLoader
+    from kgdet_tpu.utils.checkpoint import load_params
+
+    cfg = load_config(args.config)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+
+    if args.load_pth:
+        from kgdet_tpu.utils.torch_convert import (
+            convert_pth, merge_into_variables)
+        params, stats, skipped = convert_pth(args.load_pth)
+        if skipped:
+            print(f'[convert] skipped {len(skipped)} keys: {skipped[:8]}...')
+        variables = merge_into_variables(variables, params, stats)
+    elif args.checkpoint:
+        restored = load_params(args.checkpoint)
+        if 'params' in restored:
+            variables = {'params': restored['params'],
+                         'batch_stats': restored.get('batch_stats', {})}
+        else:
+            variables = restored
+
+    dataset = DeepFashion2Dataset(cfg.val_data, train=False)
+    loader = DataLoader(
+        dataset, args.batch_size or max(cfg.val_data.batch_size, 1),
+        train=False, num_shards=jax.process_count(),
+        shard_id=jax.process_index())
+    print(f'[test] {len(dataset)} images on {jax.device_count()} device(s)',
+          flush=True)
+    results = run_inference(model, variables, cfg, loader)
+    stats, files = evaluate_results(
+        results, dataset, out_prefix=args.json_out or '/tmp/kgdet_test',
+        iou_types=tuple(args.eval))
+    for iou_type, s in stats.items():
+        line = ' '.join(f'{v:.4f}' for k, v in s.items())
+        print(f'{iou_type}_mAP_copypaste: {line}')
+    print(f'[test] wrote {files}')
+
+
+if __name__ == '__main__':
+    main()

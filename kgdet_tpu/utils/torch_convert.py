@@ -1,0 +1,228 @@
+"""Lossless PyTorch .pth -> kgdet_tpu pytree checkpoint converter.
+
+The reference ships KGDet weights as mmcv .pth files (model state_dict with
+keys like ``backbone.layer1.0.conv1.weight``). This module maps every tensor
+by name into the flax layout used here (NHWC convs, Dense 1x1s, FrozenBN with
+stats in batch_stats), so converted checkpoints reproduce the reference
+network exactly.
+
+Layout conventions:
+  torch Conv2d weight (Cout, Cin, kh, kw) -> flax Conv kernel (kh, kw, Cin, Cout)
+  torch 1x1 Conv2d    (Cout, Cin, 1, 1)   -> flax Dense kernel (Cin, Cout)
+  DeformConv weight   (Cout, Cin, k, k)   -> tap-major (k*k, Cin, Cout)
+  BatchNorm weight/bias -> params scale/bias; running stats -> batch_stats
+  GroupNorm weight/bias -> params scale/bias
+
+Parity reference for source names: mmdetection/mmdet/models/backbones/
+resnet.py, necks/fpn2.py, anchor_heads/reppoints_head_kp3rep_cas_1_assign_once.py
+(attributes cls_convs/reg_convs/kp_rep_block_{1,2,3}/moment_transfer).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    assert w.shape[2] == w.shape[3] == 1, w.shape
+    return np.transpose(w[:, :, 0, 0], (1, 0))
+
+
+def _dcn_kernel(w: np.ndarray) -> np.ndarray:
+    cout, cin, kh, kw = w.shape
+    return np.transpose(w.reshape(cout, cin, kh * kw), (2, 1, 0))
+
+
+def convert_state_dict(state_dict: Dict[str, Any]):
+    """Map a KGDet torch state_dict to (params, batch_stats) pytrees.
+
+    ``state_dict`` values may be torch tensors or numpy arrays.
+    Returns (params, batch_stats, skipped_keys).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    skipped = []
+
+    def npy(v):
+        if hasattr(v, 'detach'):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    for key, val in state_dict.items():
+        v = npy(val)
+        parts = key.split('.')
+        if parts[0] == 'backbone':
+            _convert_backbone(parts[1:], v, params, stats, skipped, key)
+        elif parts[0] == 'neck':
+            _convert_neck(parts[1:], v, params, skipped, key)
+        elif parts[0] == 'bbox_head':
+            _convert_head(parts[1:], v, params, skipped, key)
+        else:
+            skipped.append(key)
+    return params, stats, skipped
+
+
+def _bn(parts, v, params, stats, prefix):
+    leaf = parts[-1]
+    if leaf == 'weight':
+        _set(params, prefix + ('scale',), v)
+    elif leaf == 'bias':
+        _set(params, prefix + ('bias',), v)
+    elif leaf == 'running_mean':
+        _set(stats, prefix + ('mean',), v)
+    elif leaf == 'running_var':
+        _set(stats, prefix + ('var',), v)
+    elif leaf == 'num_batches_tracked':
+        pass
+    else:
+        raise KeyError(leaf)
+
+
+def _convert_backbone(parts, v, params, stats, skipped, key):
+    if parts[0] == 'conv1':
+        _set(params, ('backbone', 'conv1', 'kernel'), _conv_kernel(v))
+    elif parts[0] == 'bn1':
+        _bn(parts, v, params, stats, ('backbone', 'bn1'))
+    elif re.match(r'layer\d$', parts[0]):
+        block = f'{parts[0]}/{parts[1]}'
+        sub = parts[2]
+        if sub.startswith('conv'):
+            _set(params, ('backbone', block, sub, 'kernel'), _conv_kernel(v))
+        elif sub.startswith('bn'):
+            _bn(parts, v, params, stats, ('backbone', block, sub))
+        elif sub == 'downsample':
+            if parts[3] == '0':
+                _set(params, ('backbone', block, 'downsample_conv', 'kernel'),
+                     _conv_kernel(v))
+            else:
+                _bn(parts, v, params, stats,
+                    ('backbone', block, 'downsample_bn'))
+        else:
+            skipped.append(key)
+    else:
+        skipped.append(key)
+
+
+def _convert_neck(parts, v, params, skipped, key):
+    m = re.match(r'(lateral|fpn)_convs$', parts[0])
+    if not m:
+        skipped.append(key)
+        return
+    idx = parts[1]
+    mod = parts[2]           # conv | gn
+    leaf = parts[3]
+    name = f'{m.group(1)}_{idx}'
+    if mod == 'conv':
+        if leaf == 'weight':
+            _set(params, ('neck', name, 'conv', 'kernel'), _conv_kernel(v))
+        else:
+            _set(params, ('neck', name, 'conv', 'bias'), v)
+    elif mod == 'gn':
+        _set(params, ('neck', name, 'gn', 'scale' if leaf == 'weight'
+                      else 'bias'), v)
+    else:
+        skipped.append(key)
+
+
+def _convert_head(parts, v, params, skipped, key):
+    if parts[0] == 'moment_transfer':
+        _set(params, ('head', 'moment_transfer'), v)
+        return
+    m = re.match(r'(cls|reg)_convs$', parts[0])
+    if m:
+        name = f'{m.group(1)}_convs_{parts[1]}'
+        mod, leaf = parts[2], parts[3]
+        if mod == 'conv':
+            if leaf == 'weight':
+                _set(params, ('head', name, 'conv', 'kernel'),
+                     _conv_kernel(v))
+            else:
+                _set(params, ('head', name, 'conv', 'bias'), v)
+        elif mod == 'gn':
+            _set(params, ('head', name, 'gn',
+                          'scale' if leaf == 'weight' else 'bias'), v)
+        else:
+            skipped.append(key)
+        return
+    m = re.match(r'kp_rep_block_(\d)$', parts[0])
+    if m:
+        block = parts[0]
+        mod, leaf = parts[1], parts[2]
+        if re.match(r'(cls|keypts)_dfmconv_\d$', mod):
+            assert leaf == 'weight'
+            _set(params, ('head', block, mod), _dcn_kernel(v))
+        elif mod in ('cls_out', 'keypts_out', 'reppts_out'):
+            if leaf == 'weight':
+                _set(params, ('head', block, mod, 'kernel'),
+                     _dense_kernel(v))
+            else:
+                _set(params, ('head', block, mod, 'bias'), v)
+        elif mod in ('cls_conv', 'keypts_conv'):
+            if leaf == 'weight':
+                _set(params, ('head', block, mod, 'kernel'), _conv_kernel(v))
+            else:
+                _set(params, ('head', block, mod, 'bias'), v)
+        else:
+            skipped.append(key)
+        return
+    skipped.append(key)
+
+
+def load_pth(path: str):
+    """Load an mmcv .pth checkpoint's model state_dict (CPU torch)."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    state = ckpt.get('state_dict', ckpt)
+    return {k.replace('module.', '', 1) if k.startswith('module.') else k: v
+            for k, v in state.items()}
+
+
+def convert_pth(path: str):
+    """Full .pth -> (params, batch_stats, skipped) pipeline."""
+    return convert_state_dict(load_pth(path))
+
+
+def merge_into_variables(variables, params, batch_stats, strict=True):
+    """Overlay converted tensors onto initialized model variables.
+
+    Verifies shape agreement leaf-by-leaf; with strict=True, every converted
+    leaf must exist in the target tree.
+    """
+    import jax
+
+    def overlay(dst, src, path=''):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in out:
+                if strict:
+                    raise KeyError(f'{path}/{k} not in target tree')
+                continue
+            if isinstance(v, dict):
+                out[k] = overlay(out[k], v, f'{path}/{k}')
+            else:
+                tgt = np.asarray(out[k])
+                if tgt.shape != v.shape:
+                    raise ValueError(
+                        f'{path}/{k}: shape {v.shape} != target {tgt.shape}')
+                out[k] = v.astype(tgt.dtype)
+        return out
+
+    new_vars = dict(variables)
+    new_vars['params'] = overlay(variables['params'], params)
+    if batch_stats:
+        new_vars['batch_stats'] = overlay(
+            variables.get('batch_stats', {}), batch_stats)
+    return new_vars

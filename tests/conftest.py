@@ -15,6 +15,13 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/jax_kgdet'))
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers an 'axon' TPU backend and forces
+# jax_platforms='axon,cpu' via jax.config (overriding the env var), so setting
+# JAX_PLATFORMS alone is not enough — re-force CPU before backends initialize.
+jax.config.update('jax_platforms', 'cpu')
+
 import pytest  # noqa: E402
 
 

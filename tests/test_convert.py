@@ -1,0 +1,204 @@
+"""Checkpoint converter tests: name mapping, layout transposes, conv parity."""
+import numpy as np
+import pytest
+
+from kgdet_tpu.api import build_model, init_variables
+from kgdet_tpu.utils.torch_convert import (
+    convert_state_dict, merge_into_variables)
+from tests.common import tiny_cfg
+
+torch = pytest.importorskip('torch')
+
+
+def _flax_to_torch_state(variables):
+    """Inverse mapping: build a torch-style state dict from flax variables."""
+    state = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + [k])
+            else:
+                emit(path + [k], np.asarray(v))
+
+    def emit(path, v):
+        comp = path[0]
+        if comp == 'backbone':
+            # all backbone params are conv kernels or bn scale/bias
+            name = '.'.join(p.replace('/', '.') for p in path[1:])
+            leaf = path[-1]
+            if leaf == 'kernel':
+                tname = name[:-len('.kernel')].replace(
+                    'downsample_conv', 'downsample.0')
+                state[f'backbone.{tname}.weight'] = _t_conv(v)
+            else:
+                tname = name.rsplit('.', 1)[0].replace(
+                    'downsample_bn', 'downsample.1')
+                tleaf = 'weight' if leaf == 'scale' else 'bias'
+                state[f'backbone.{tname}.{tleaf}'] = torch.tensor(v)
+        elif comp == 'neck':
+            kind, idx = path[1].rsplit('_', 1)
+            mod = path[2]
+            leaf = path[3]
+            if mod == 'conv':
+                val = _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                state[f'neck.{kind}_convs.{idx}.conv.'
+                      f'{"weight" if leaf == "kernel" else "bias"}'] = val
+            else:
+                state[f'neck.{kind}_convs.{idx}.gn.'
+                      f'{"weight" if leaf == "scale" else "bias"}'] = \
+                    torch.tensor(v)
+        elif comp == 'head':
+            if path[1] == 'moment_transfer':
+                state['bbox_head.moment_transfer'] = torch.tensor(v)
+                return
+            if path[1].startswith(('cls_convs_', 'reg_convs_')):
+                kind, idx = path[1].rsplit('_', 1)
+                mod, leaf = path[2], path[3]
+                if mod == 'conv':
+                    val = _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                    state[f'bbox_head.{kind}.{idx}.conv.'
+                          f'{"weight" if leaf == "kernel" else "bias"}'] = val
+                else:
+                    state[f'bbox_head.{kind}.{idx}.gn.'
+                          f'{"weight" if leaf == "scale" else "bias"}'] = \
+                        torch.tensor(v)
+                return
+            block = path[1]
+            mod = path[2]
+            if 'dfmconv' in mod:
+                # (k2, Cin, Cout) -> (Cout, Cin, k, k)
+                k2, cin, cout = v.shape
+                k = int(np.sqrt(k2))
+                w = np.transpose(v, (2, 1, 0)).reshape(cout, cin, k, k)
+                state[f'bbox_head.{block}.{mod}.weight'] = torch.tensor(w)
+                return
+            leaf = path[3]
+            if mod in ('cls_out', 'keypts_out', 'reppts_out'):
+                if leaf == 'kernel':
+                    w = np.transpose(v, (1, 0))[:, :, None, None]
+                    state[f'bbox_head.{block}.{mod}.weight'] = torch.tensor(w)
+                else:
+                    state[f'bbox_head.{block}.{mod}.bias'] = torch.tensor(v)
+            else:  # cls_conv / keypts_conv 3x3
+                if leaf == 'kernel':
+                    state[f'bbox_head.{block}.{mod}.weight'] = _t_conv(v)
+                else:
+                    state[f'bbox_head.{block}.{mod}.bias'] = torch.tensor(v)
+
+    def _t_conv(v):
+        return torch.tensor(np.transpose(v, (3, 2, 0, 1)))
+
+    walk(variables['params'], [])
+    for mod_path, leaves in _flatten_stats(variables['batch_stats']):
+        name = mod_path.replace('/', '.').replace(
+            'downsample_bn', 'downsample.1')
+        for leaf, v in leaves.items():
+            tleaf = {'mean': 'running_mean', 'var': 'running_var'}[leaf]
+            state[f'backbone.{name}.{tleaf}'] = torch.tensor(np.asarray(v))
+    return state
+
+
+def _flatten_stats(tree, prefix=''):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict) and any(
+                isinstance(x, dict) for x in v.values()):
+            out.extend(_flatten_stats(v, f'{prefix}{k}/'))
+        elif isinstance(v, dict):
+            out.append((f'{prefix}{k}'.replace('backbone/', '', 1), v))
+    return out
+
+
+@pytest.fixture(scope='module')
+def tiny_variables():
+    from tests.common import TINY_CANVAS
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    return init_variables(model, cfg, canvas_hw=TINY_CANVAS)
+
+
+def test_roundtrip_conversion_exact(tiny_variables):
+    variables = tiny_variables
+    state = _flax_to_torch_state(variables)
+    params, stats, skipped = convert_state_dict(state)
+    assert not skipped, skipped
+    merged = merge_into_variables(variables, params, stats, strict=True)
+
+    flat_a = _leaves(variables['params'])
+    flat_b = _leaves(merged['params'])
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), atol=1e-6,
+            err_msg=k)
+    flat_sa = _leaves(variables['batch_stats'])
+    flat_sb = _leaves(merged['batch_stats'])
+    assert flat_sa.keys() == flat_sb.keys()
+
+
+def _leaves(tree, prefix=''):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_leaves(v, f'{prefix}{k}/'))
+        else:
+            out[f'{prefix}{k}'] = v
+    return out
+
+
+def test_shape_mismatch_rejected(tiny_variables):
+    variables = tiny_variables
+    bad = {'backbone': {'conv1': {'kernel':
+                                  np.zeros((3, 3, 3, 64), np.float32)}}}
+    with pytest.raises(ValueError, match='shape'):
+        merge_into_variables(variables, bad, {}, strict=True)
+
+
+def test_flax_conv_matches_torch_conv():
+    """Padding/stride/layout conventions agree with torch for the stem conv."""
+    import jax.numpy as jnp
+    from kgdet_tpu.models.resnet import _conv
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 9, 11, 4).astype(np.float32)
+    w = rng.randn(6, 4, 3, 3).astype(np.float32)  # torch OIHW
+
+    t = torch.nn.functional.conv2d(
+        torch.tensor(np.transpose(x, (0, 3, 1, 2))), torch.tensor(w),
+        stride=2, padding=1)
+    want = np.transpose(t.numpy(), (0, 2, 3, 1))
+
+    conv = _conv(6, 3, 2)
+    kernel = np.transpose(w, (2, 3, 1, 0))  # -> HWIO
+    got = conv.apply({'params': {'kernel': jnp.asarray(kernel)}},
+                     jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_frozen_bn_matches_torch_eval_bn():
+    from kgdet_tpu.models.layers import FrozenBatchNorm
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4, 4, 8).astype(np.float32)
+    scale = rng.rand(8).astype(np.float32) + 0.5
+    bias = rng.randn(8).astype(np.float32)
+    mean = rng.randn(8).astype(np.float32)
+    var = rng.rand(8).astype(np.float32) + 0.5
+
+    bn = torch.nn.BatchNorm2d(8).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(scale))
+        bn.bias.copy_(torch.tensor(bias))
+        bn.running_mean.copy_(torch.tensor(mean))
+        bn.running_var.copy_(torch.tensor(var))
+    want = np.transpose(
+        bn(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).detach().numpy(),
+        (0, 2, 3, 1))
+
+    got = FrozenBatchNorm().apply(
+        {'params': {'scale': jnp.asarray(scale), 'bias': jnp.asarray(bias)},
+         'batch_stats': {'mean': jnp.asarray(mean),
+                         'var': jnp.asarray(var)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

@@ -19,13 +19,13 @@ from kgdet_tpu.data.transforms import (
 
 
 # ------------------------------------------------------------- synthetic set
-def make_synth_coco(tmpdir, n_images=10, seed=0):
+def make_synth_coco(tmpdir, n_images=10, seed=0, landscape_only=False):
     rng = np.random.RandomState(seed)
     images, annotations = [], []
     ann_id = 1
     for i in range(n_images):
         # mix of landscape and portrait
-        if i % 2 == 0:
+        if i % 2 == 0 or landscape_only:
             w, h = 160, 120
         else:
             w, h = 120, 160

@@ -1,0 +1,79 @@
+"""Pallas deformable-sampling kernel vs the XLA reference (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental import pallas as pl
+
+import kgdet_tpu.ops.pallas_deform as pd
+from kgdet_tpu.ops.deform import bilinear_gather
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas_call in interpreter mode (CPU test harness)."""
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw['interpret'] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, 'pallas_call', patched)
+    yield
+
+
+def test_pallas_matches_xla_reference():
+    rng = np.random.RandomState(0)
+    B, H, W, C, K = 2, 6, 7, 128, 5
+    P = 11
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-2, 9, (B, P, K, 2)).astype(np.float32))
+    want = bilinear_gather(feat, pos)
+    got = pd.deform_sample_pallas(feat, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_pallas_out_of_bounds_zeroing():
+    rng = np.random.RandomState(1)
+    B, H, W, C, K, P = 1, 5, 5, 128, 2, 3
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    # all positions fully outside the map
+    pos = jnp.full((B, P, K, 2), -10.0)
+    got = pd.deform_sample_pallas(feat, pos)
+    np.testing.assert_array_equal(np.asarray(got), 0)
+
+
+def test_pallas_padding_path():
+    """P not a multiple of TP exercises the pad/slice path."""
+    rng = np.random.RandomState(2)
+    B, H, W, C, K = 1, 4, 4, 128, 3
+    P = pd.TP + 3
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0, 3, (B, P, K, 2)).astype(np.float32))
+    want = bilinear_gather(feat, pos)
+    got = pd.deform_sample_pallas(feat, pos)
+    assert got.shape == (B, P, K, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_hybrid_gradient_matches_xla():
+    rng = np.random.RandomState(3)
+    B, H, W, C, K, P = 1, 5, 6, 128, 2, 4
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(
+        rng.uniform(0.3, 4.3, (B, P, K, 2)).astype(np.float32))
+
+    def loss_h(f, p):
+        return jnp.sum(pd.deform_sample_hybrid(f, p) ** 2)
+
+    def loss_x(f, p):
+        return jnp.sum(bilinear_gather(f, p) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(feat, pos)
+    gx = jax.grad(loss_x, argnums=(0, 1))(feat, pos)
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gx[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
+                               atol=1e-4)

@@ -1,0 +1,109 @@
+"""Serial/parallel head variants: forward shapes, train step, MaxIoU assign."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgdet_tpu.api import build_model, init_variables
+from kgdet_tpu.config import (
+    AssignConfig, BackboneConfig, HeadConfig, KGDetConfig, NeckConfig,
+    TestConfig)
+from kgdet_tpu.core.iou_assign import assign_max_iou, iou_xyxy
+from kgdet_tpu.parallel.train import make_optimizer, make_train_step
+from tests.common import TINY_CANVAS, TINY_KPTS, synth_batch
+
+CANVAS = TINY_CANVAS
+
+
+def serial_cfg(head_type='SerialKpHead'):
+    return KGDetConfig(
+        backbone=BackboneConfig(depth=18),
+        neck=NeckConfig(in_channels=(64, 128, 256, 512), out_channels=64,
+                        start_level=1, num_outs=3, add_extra_convs=True,
+                        select_out=None, norm='gn', gn_groups=8),
+        head=HeadConfig(
+            type=head_type, num_classes=13, in_channels=64,
+            feat_channels=64, point_feat_channels=64, stacked_convs=1,
+            num_keypts=TINY_KPTS, num_reppts=9,
+            point_strides=(8, 16, 32), gn_groups=8,
+            loss_cls_weights=(1.0,), loss_bbox_weights=(0.5, 1.0),
+            loss_kpt_weights=(2.0, 4.0), smooth_l1_beta=0.11),
+        assigner=AssignConfig(type='PointAssigner', scale=4, pos_num=1),
+        refine_assigner=AssignConfig(type='MaxIoUAssigner'),
+        test=TestConfig(nms_pre=50, max_per_class=10, max_per_img=20),
+    )
+
+
+# --------------------------------------------------------------- iou assign
+def test_iou_xyxy_matrix():
+    a = jnp.asarray([[0., 0., 10., 10.]])
+    b = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.],
+                     [20., 20., 30., 30.]])
+    iou = np.asarray(iou_xyxy(a, b))
+    np.testing.assert_allclose(iou[0], [1.0, 25. / 175., 0.0], atol=1e-6)
+
+
+def test_assign_max_iou_semantics():
+    gts = jnp.asarray([[0., 0., 10., 10.], [20., 0., 30., 10.]])
+    gt_mask = jnp.asarray([True, True])
+    cands = jnp.asarray([
+        [0., 0., 10., 10.],    # IoU 1.0 with gt0 -> pos
+        [0., 0., 5., 10.],     # IoU 0.5 with gt0 -> pos (>= 0.5)
+        [0., 0., 4.5, 10.],    # IoU 0.45 -> ignored (between 0.4 and 0.5)
+        [0., 0., 3., 10.],     # IoU 0.3 -> negative
+        [21., 0., 30., 10.],   # best candidate for gt1 (IoU 0.9) -> pos
+        [100., 100., 110., 110.],  # IoU 0 -> negative
+    ])
+    valid = jnp.ones(6, bool)
+    a = assign_max_iou(cands, valid, gts, gt_mask,
+                       pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0)
+    pos = np.asarray(a.pos_mask)
+    ign = np.asarray(a.ignore_mask)
+    assigned = np.asarray(a.assigned_gt)
+    assert pos.tolist() == [True, True, False, False, True, False]
+    assert ign.tolist() == [False, False, True, False, False, False]
+    assert assigned[0] == 0 and assigned[1] == 0 and assigned[4] == 1
+
+
+def test_assign_max_iou_gt_claims_best_candidate():
+    # gt's best candidate has IoU below pos_thr but >= min_pos_iou -> claimed
+    gts = jnp.asarray([[0., 0., 10., 10.]])
+    cands = jnp.asarray([[0., 0., 4., 10.],      # IoU 0.4 - best for gt
+                         [50., 50., 60., 60.]])
+    a = assign_max_iou(cands, jnp.ones(2, bool), gts, jnp.ones(1, bool),
+                       pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0)
+    assert np.asarray(a.pos_mask).tolist() == [True, False]
+
+
+def test_padded_gts_never_assigned():
+    gts = jnp.asarray([[0., 0., 10., 10.], [0., 0., 10., 10.]])
+    gt_mask = jnp.asarray([True, False])
+    cands = jnp.asarray([[0., 0., 10., 10.]])
+    a = assign_max_iou(cands, jnp.ones(1, bool), gts, gt_mask)
+    assert int(a.assigned_gt[0]) == 0
+
+
+# ------------------------------------------------------------ serial heads
+@pytest.mark.parametrize('head_type', ['SerialKpHead', 'ParallelKpHead'])
+def test_serial_parallel_forward_and_train(head_type):
+    cfg = serial_cfg(head_type)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+
+    outs = jax.jit(model.apply)(variables, jnp.zeros(
+        (2, CANVAS[0], CANVAS[1], 3)))
+    assert len(outs) == 3  # 3 pyramid levels
+    H, W = CANVAS[0] // 8, CANVAS[1] // 8
+    assert outs[0]['cls'].shape == (1, 2, H, W, 13)
+    assert outs[0]['kpt'].shape == (2, 2, H, W, TINY_KPTS * 2)
+    assert outs[0]['bbox'].shape == (2, 2, H, W, 4)
+
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    params, opt_state, logs = step(params, stats, opt_state, batch)
+    assert np.isfinite(float(logs['loss']))
+    for k in ('loss_cls_lvl0', 'loss_bbox_init_lvl1', 'loss_kpt_refine_lvl2'):
+        assert np.isfinite(float(logs[k])), k
