@@ -93,6 +93,8 @@ class HeadConfig:
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     smooth_l1_beta: float = 1.0 / 9.0
+    # horizontal flip-ensembled forward (TTA, reference flip_forward)
+    flip_forward: bool = False
 
 
 @dataclass(frozen=True)
@@ -138,6 +140,9 @@ class DataConfig:
     img_scale: Tuple[int, int] = (1333, 800)
     size_divisor: int = 32
     flip_ratio: float = 0.5
+    # propagate each semantic keypoint group's visible value to the whole
+    # group (reference group_mode; off in all shipped recipes)
+    group_mode: bool = False
     max_gts: int = 32
     batch_size: int = 8          # global batch
     # two aspect-ratio buckets: landscape / portrait padded canvases

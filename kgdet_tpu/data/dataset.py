@@ -25,7 +25,31 @@ except ImportError:  # pragma: no cover
 
 from kgdet_tpu.config import DataConfig
 from kgdet_tpu.data.deepfashion2_meta import (
-    CLASSES, NUM_KEYPOINTS)
+    CLASSES, KEYPOINT_GROUPS, NUM_KEYPOINTS)
+
+_GROUPS0 = None
+
+
+def apply_keypoint_groups(kpts: np.ndarray) -> np.ndarray:
+    """Propagate each semantic group's visible keypoint to the whole group.
+
+    kpts: (N, 294, 3). For every cross-class group with at least one visible
+    keypoint, every slot of the group takes the first visible member's
+    (x, y, v). This is the intended semantics of the reference's group_mode
+    (custom.py:279-286; the reference's in-place fancy-index assignment only
+    executes without error when all group members are already visible, and
+    the mode is off in every shipped config).
+    """
+    global _GROUPS0
+    if _GROUPS0 is None:
+        _GROUPS0 = [np.asarray(g, np.int64) - 1 for g in KEYPOINT_GROUPS]
+    out = kpts.copy()
+    for inst in out:
+        for group in _GROUPS0:
+            vis = inst[group, 2] > 0
+            if vis.any():
+                inst[group] = inst[group[np.argmax(vis)]]
+    return out
 from kgdet_tpu.data.transforms import (
     flip_bboxes, flip_keypoints, imnormalize, imrescale, pad_to_canvas)
 from kgdet_tpu.eval.coco import CocoIndex
@@ -135,6 +159,9 @@ class DeepFashion2Dataset:
             img = img[:, ::-1]
             bboxes = flip_bboxes(bboxes, rw)
             kpts = flip_keypoints(kpts, labels, rw)
+
+        if self.cfg.group_mode:
+            kpts = apply_keypoint_groups(kpts)
 
         canvas = self.canvas_for_flag(self.flags[idx])
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)

@@ -27,7 +27,7 @@ class EvalParams:
             self.area_lbl = ['all', 'medium', 'large']
             self.kpt_sigmas = (OKS_SIGMAS if kpt_sigmas is None
                                else np.asarray(kpt_sigmas, dtype=np.float64))
-        elif iou_type == 'bbox':
+        elif iou_type in ('bbox', 'segm'):
             self.max_dets = [1, 10, 100]
             self.area_rng = [[0, 1e10], [0, 32 ** 2],
                              [32 ** 2, 96 ** 2], [96 ** 2, 1e10]]
@@ -100,6 +100,23 @@ def compute_oks(dts, gts, sigmas):
     return ious
 
 
+def ann_to_rle(ann, h, w):
+    """Annotation segmentation (polygons / uncompressed / compressed RLE)
+    -> native RLE (parity: pycocotools annToRLE)."""
+    from kgdet_tpu.native import RLE
+    seg = ann['segmentation']
+    if isinstance(seg, list):
+        rle = None
+        for poly in seg:
+            r = RLE.from_poly(poly, h, w)
+            rle = r if rle is None else rle.merge(r)
+        return rle
+    counts = seg['counts']
+    if isinstance(counts, list):
+        return RLE(seg['size'][0], seg['size'][1], counts)
+    return RLE.from_string(counts, seg['size'][0], seg['size'][1])
+
+
 class CocoEvaluator:
     """Greedy-matching COCO evaluator over a GT and a DT CocoIndex."""
 
@@ -140,6 +157,14 @@ class CocoEvaluator:
             g = [gt['bbox'] for gt in gts]
             crowd = [gt.get('iscrowd', 0) for gt in gts]
             return bbox_iou_xywh(d, g, crowd)
+        if p.iou_type == 'segm':
+            h = self.gt.imgs[img_id].get('height')
+            w = self.gt.imgs[img_id].get('width')
+            d = [ann_to_rle(dt, h, w) for dt in dts]
+            g = [ann_to_rle(gt, h, w) for gt in gts]
+            crowd = [bool(gt.get('iscrowd', 0)) for gt in gts]
+            from kgdet_tpu.native import mask_iou_matrix
+            return mask_iou_matrix(d, g, crowd)
         return compute_oks(dts, gts, p.kpt_sigmas)
 
     # ---------------------------------------------------------------- per-img
@@ -291,7 +316,7 @@ class CocoEvaluator:
 
     def summarize(self, verbose=True):
         p = self.params
-        if p.iou_type == 'bbox':
+        if p.iou_type in ('bbox', 'segm'):
             names = ['AP', 'AP50', 'AP75', 'APs', 'APm', 'APl',
                      'AR1', 'AR10', 'AR100', 'ARs', 'ARm', 'ARl']
             md = p.max_dets

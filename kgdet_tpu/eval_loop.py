@@ -83,6 +83,35 @@ def run_inference(model, variables, cfg: KGDetConfig, loader: DataLoader,
     return results
 
 
+def gather_results_across_processes(results: Dict[int, tuple]):
+    """All-gather per-process result dicts onto every host.
+
+    TPU-native replacement for the reference's pickle-file + NCCL-broadcast
+    filesystem rendezvous (tools/test.py:56-100): results are pickled,
+    padded to the global max length, and exchanged with
+    multihost_utils.process_allgather over the ICI/DCN fabric.
+    No-op for single-process runs.
+    """
+    if jax.process_count() == 1:
+        return results
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(results), dtype=np.uint8)
+    n = np.asarray([blob.size], np.int64)
+    sizes = multihost_utils.process_allgather(n)
+    max_size = int(sizes.max())
+    padded = np.zeros((max_size,), np.uint8)
+    padded[:blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)
+    merged: Dict[int, tuple] = {}
+    for i in range(jax.process_count()):
+        size = int(sizes[i][0] if sizes.ndim > 1 else sizes[i])
+        merged.update(pickle.loads(bytes(blobs[i][:size])))
+    return merged
+
+
 def evaluate_results(results: Dict[int, tuple], dataset,
                      out_prefix: Optional[str] = None,
                      iou_types=('bbox', 'keypoints'), verbose: bool = True):
@@ -116,4 +145,5 @@ def run_eval(model, variables, cfg: KGDetConfig, dataset,
         num_workers=num_workers,
         num_shards=jax.process_count(), shard_id=jax.process_index())
     results = run_inference(model, variables, cfg, loader, verbose=verbose)
+    results = gather_results_across_processes(results)
     return evaluate_results(results, dataset, out_prefix, verbose=verbose)

@@ -60,6 +60,14 @@ class KGDetDetector(nn.Module):
             transform_method=cfg.head.transform_method,
             moment_mul=cfg.head.moment_mul, norm=cfg.head.norm,
             gn_groups=cfg.head.gn_groups, dtype=dtype, name='head')
+        if cfg.head.flip_forward and cfg.head.type.startswith('KGDetHead'):
+            flip_indices = None
+            if cfg.head.num_keypts == 294:
+                from kgdet_tpu.data.deepfashion2_meta import \
+                    interleaved_flip_indices
+                flip_indices = tuple(
+                    int(i) for i in interleaved_flip_indices())
+            head_kwargs.update(flip_forward=True, flip_indices=flip_indices)
         head_type = cfg.head.type
         if head_type == 'ParallelKpHead':
             head_cls = HEADS.get('SerialKpHead')
@@ -67,6 +75,10 @@ class KGDetDetector(nn.Module):
         elif head_type == 'SerialKpHead':
             head_cls = HEADS.get('SerialKpHead')
             head_kwargs.update(parallel=False, num_reppts=cfg.head.num_reppts)
+        elif head_type == 'KGDetHead1Rep':
+            # single-column cascade ablation (reference Kp1RepBlock)
+            head_cls = HEADS.get('KGDetHead')
+            head_kwargs.update(column_taps=(cfg.head.num_reppts,))
         else:
             head_cls = HEADS.get(head_type)
         head = head_cls(**head_kwargs)

@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from kgdet_tpu.models.layers import ConvModule, bias_init_with_prob, \
@@ -38,6 +39,16 @@ COLUMN_TAPS = (9, 25, 49)
 NUM_REPPTS = sum(COLUMN_TAPS)  # 83
 
 
+def _dfm_param_name(branch: str, taps, ci: int) -> str:
+    """Reference-compatible DCN weight names: multi-column heads suffix the
+    kernel size (cls_dfmconv_3/5/7); the single-column Kp1Rep head does not
+    (reference reppoints_head_kp1rep_cas_1_assign_once.py:49-57)."""
+    if len(taps) == 1:
+        return f'{branch}_dfmconv'
+    ksz = int(taps[ci] ** 0.5)
+    return f'{branch}_dfmconv_{ksz}'
+
+
 class KpRepBlock(nn.Module):
     """One cascade stage: (cls logits, keypoint offsets, reppoint offsets)."""
     deform: bool
@@ -45,12 +56,14 @@ class KpRepBlock(nn.Module):
     feat_channels: int = 256
     num_keypts: int = 294
     gradient_mul: float = 0.1
+    column_taps: Tuple[int, ...] = COLUMN_TAPS
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cls_feat, pts_feat, reppts_offset=None):
         kpt_dim = 2 * self.num_keypts
-        rep_dim = 2 * NUM_REPPTS
+        num_reppts = sum(self.column_taps)
+        rep_dim = 2 * num_reppts
         dense = lambda feats, name, bias_init=nn.initializers.zeros: nn.Dense(
             feats, kernel_init=normal_init(0.01), bias_init=bias_init,
             dtype=self.dtype, name=name)
@@ -69,33 +82,38 @@ class KpRepBlock(nn.Module):
 
         B, H, W, C = cls_feat.shape
         offs = grad_multiply(reppts_offset, self.gradient_mul)
-        offs = offs.reshape(B, H, W, NUM_REPPTS, 2)  # (dy, dx) per tap
+        offs = offs.reshape(B, H, W, num_reppts, 2)  # (dy, dx) per tap
 
-        # one gather for both branches and all three columns
-        cat_feat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
-        samples = deform_sample(cat_feat, offs)  # (B, P, 83, 2C)
-
-        # The 3 columns of each branch fold into ONE block-diagonal MXU
-        # contraction: W[k, :, col(k)*F:] holds column col(k)'s weights and
-        # zeros elsewhere, so no k-axis slicing (copies) and no per-column
-        # einsum launches. relu(concat(cols)) == concat(relu(cols)).
+        # one gather for both branches and all columns, outputs split per
+        # (column, branch) so each contraction is exact-FLOPs and no
+        # slicing (= whole-tensor copies) happens between gather and MXU
         F = self.feat_channels
-        branch_w = {}
-        for branch in ('cls', 'keypts'):
-            blocks = []
-            for ci, k in enumerate(COLUMN_TAPS):
-                ksz = (3, 5, 7)[ci]
-                w = self.param(f'{branch}_dfmconv_{ksz}', normal_init(0.01),
-                               (k, C, F), jnp.float32).astype(self.dtype)
-                row = [jnp.zeros((k, C, F), self.dtype)] * 3
-                row[ci] = w
-                blocks.append(jnp.concatenate(row, axis=-1))  # (k, C, 3F)
-            branch_w[branch] = jnp.concatenate(blocks, axis=0)  # (83, C, 3F)
-
-        cls_cat = nn.relu(deform_conv_from_samples(
-            samples[..., :C], branch_w['cls']))        # (B, P, 3F)
-        kpt_cat = nn.relu(deform_conv_from_samples(
-            samples[..., C:], branch_w['keypts']))
+        taps = self.column_taps
+        weights = {
+            branch: [
+                self.param(_dfm_param_name(branch, taps, ci),
+                           normal_init(0.01), (k, C, F),
+                           jnp.float32).astype(self.dtype)
+                for ci, k in enumerate(taps)
+            ]
+            for branch in ('cls', 'keypts')
+        }
+        from kgdet_tpu.ops.deform import absolute_positions, \
+            use_pallas_sampling
+        pos = absolute_positions(offs, H, W)
+        if use_pallas_sampling((H, W, 2 * C), cls_feat.dtype.itemsize) \
+                and C % 128 == 0:
+            from kgdet_tpu.ops.pallas_deform import deform_sample_split
+            cols = deform_sample_split(cls_feat, pts_feat, pos, taps)
+        else:
+            from kgdet_tpu.ops.pallas_deform import _split_xla
+            cols = _split_xla(cls_feat, pts_feat, pos, taps)
+        cls_cat = jnp.concatenate([
+            nn.relu(deform_conv_from_samples(c, weights['cls'][i]))
+            for i, (c, _) in enumerate(cols)], axis=-1)   # (B, P, 3F)
+        kpt_cat = jnp.concatenate([
+            nn.relu(deform_conv_from_samples(p, weights['keypts'][i]))
+            for i, (_, p) in enumerate(cols)], axis=-1)
         cls_out = dense(self.cls_out_channels, 'cls_out',
                         bias_init_with_prob(0.01))(cls_cat)
         keypts_out = dense(kpt_dim, 'keypts_out')(kpt_cat)
@@ -123,6 +141,12 @@ class KGDetHead(nn.Module):
     point_base_scale: int = 4
     transform_method: str = 'moment'
     moment_mul: float = 0.01
+    column_taps: Tuple[int, ...] = COLUMN_TAPS
+    # horizontal flip-ensembled forward (TTA; reference forward_single_flip,
+    # off by default). flip_indices: 2K-channel permutation remapping the
+    # interleaved keypoint-offset channels after a flip (None = identity).
+    flip_forward: bool = False
+    flip_indices: Optional[Tuple[int, ...]] = None
     norm: Optional[str] = 'gn'
     gn_groups: int = 32
     dtype: Any = jnp.float32
@@ -149,7 +173,8 @@ class KGDetHead(nn.Module):
             KpRepBlock(deform=(i > 0), cls_out_channels=self.num_classes,
                        feat_channels=self.feat_channels,
                        num_keypts=self.num_keypts,
-                       gradient_mul=self.gradient_mul, dtype=self.dtype,
+                       gradient_mul=self.gradient_mul,
+                       column_taps=self.column_taps, dtype=self.dtype,
                        name=f'kp_rep_block_{i + 1}')
             for i in range(3)
         ]
@@ -159,8 +184,7 @@ class KGDetHead(nn.Module):
                 reppts.astype(jnp.float32), self.transform_method,
                 moment_transfer, self.moment_mul)
 
-        outs = []
-        for x in feats:
+        def run_level(x):
             cls_feat = x
             pts_feat = x
             for conv in towers[0]:
@@ -181,9 +205,42 @@ class KGDetHead(nn.Module):
             rep3 = rep3_raw + lax.stop_gradient(rep2)
             bbox3 = to_bbox(rep3)
 
-            outs.append({
+            return {
                 'cls': jnp.stack([cls1, cls2, cls3]),
                 'kpt': jnp.stack([kpt1, kpt2, kpt3]),
                 'bbox': jnp.stack([bbox1, bbox2, bbox3]),
-            })
+            }
+
+        def fuse_flip(out, out_f):
+            """Average with the flipped-input forward mapped back.
+
+            Parity: forward_single_flip (reference head :448-488) — cls maps
+            flip back on W; keypoint offsets (y-first pairs) flip back,
+            negate x, permute channels by flip_indices; boxes flip back,
+            negate x, swap x1/x2.
+            """
+            K2 = out['kpt'].shape[-1]
+            flip_idx = jnp.asarray(
+                self.flip_indices if self.flip_indices is not None
+                else np.arange(K2), jnp.int32)
+            cls_b = out_f['cls'][:, :, :, ::-1]
+            kpt_b = out_f['kpt'][:, :, :, ::-1]
+            sign = jnp.tile(jnp.asarray([1.0, -1.0], kpt_b.dtype), K2 // 2)
+            kpt_b = (kpt_b * sign)[..., flip_idx]
+            bbox_b = out_f['bbox'][:, :, :, ::-1]
+            bbox_b = jnp.stack(
+                [-bbox_b[..., 2], bbox_b[..., 1],
+                 -bbox_b[..., 0], bbox_b[..., 3]], axis=-1)
+            return {
+                'cls': (out['cls'] + cls_b) / 2,
+                'kpt': (out['kpt'] + kpt_b) / 2,
+                'bbox': (out['bbox'] + bbox_b) / 2,
+            }
+
+        outs = []
+        for x in feats:
+            out = run_level(x)
+            if self.flip_forward:
+                out = fuse_flip(out, run_level(x[:, :, ::-1]))
+            outs.append(out)
         return outs

@@ -95,21 +95,41 @@ def bilinear_gather(feat, pos_yx):
     return out.astype(feat.dtype).reshape(B, P, K, C)
 
 
-def _use_pallas(feat):
-    """Pallas path: TPU backend, lane-aligned channels, map fits in VMEM."""
+def absolute_positions(rel_offsets_yx, H, W):
+    """(B, H, W, K, 2) center-relative offsets -> (B, H*W, K, 2) absolute."""
+    B = rel_offsets_yx.shape[0]
+    K = rel_offsets_yx.shape[3]
+    pos_dtype = jnp.promote_types(rel_offsets_yx.dtype, jnp.float32)
+    cy = jnp.arange(H, dtype=pos_dtype)
+    cx = jnp.arange(W, dtype=pos_dtype)
+    centers = jnp.stack(
+        [jnp.repeat(cy, W), jnp.tile(cx, H)], axis=-1)  # (H*W, 2)
+    return rel_offsets_yx.astype(pos_dtype).reshape(B, H * W, K, 2) \
+        + centers[None, :, None, :]
+
+
+def use_pallas_sampling(shape, itemsize, platform=None):
+    """Pallas path gate: TPU backend, lane-aligned channels, map in VMEM."""
     import os
     if os.environ.get('KGDET_DISABLE_PALLAS'):
         return False
-    B, H, W, C = feat.shape
+    H, W, C = shape
     if C % 128 != 0:
         return False
     # VMEM budget: resident map + double-buffered (TP, K, C) output blocks
-    if H * W * C * feat.dtype.itemsize > 3 * 1024 * 1024:
+    if H * W * C * itemsize > 3 * 1024 * 1024:
         return False
-    try:
-        return jax.devices()[0].platform == 'tpu'
-    except Exception:
-        return False
+    if platform is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            return False
+    return platform == 'tpu'
+
+
+def _use_pallas(feat):
+    """Pallas path: TPU backend, lane-aligned channels, map fits in VMEM."""
+    return use_pallas_sampling(feat.shape[1:], feat.dtype.itemsize)
 
 
 def deform_sample(feat, rel_offsets_yx):

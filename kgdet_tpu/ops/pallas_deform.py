@@ -157,3 +157,135 @@ def _hybrid_bwd(res, g):
 
 
 deform_sample_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: column/branch-split sampling — one gather pass, 2*len(taps) contiguous
+# outputs, so the per-column contractions downstream need no slicing (which
+# XLA turns into whole-tensor copies) and no zero-padded block-diagonal.
+# ---------------------------------------------------------------------------
+def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half):
+    """out_refs: taps-major, branch-minor: (cls_t0, pts_t0, cls_t1, ...)."""
+    bounds = []
+    off = 0
+    for t in taps:
+        bounds.append((off, off + t))
+        off += t
+
+    def body(p, _):
+        for k in range(K):
+            r0 = starts_ref[0, 0, p, 2 * k]
+            r1 = starts_ref[0, 0, p, 2 * k + 1]
+            w00 = w_ref[0, 0, p, 4 * k]
+            w01 = w_ref[0, 0, p, 4 * k + 1]
+            w10 = w_ref[0, 0, p, 4 * k + 2]
+            w11 = w_ref[0, 0, p, 4 * k + 3]
+            top = feat_ref[0, pl.ds(r0, 2)]      # (2, S, LANE)
+            bot = feat_ref[0, pl.ds(r1, 2)]
+            val = (top[0].astype(jnp.float32) * w00
+                   + top[1].astype(jnp.float32) * w01
+                   + bot[0].astype(jnp.float32) * w10
+                   + bot[1].astype(jnp.float32) * w11)
+            ci = next(i for i, (lo, hi) in enumerate(bounds) if lo <= k < hi)
+            lo = bounds[ci][0]
+            cls_ref = out_refs[2 * ci]
+            pts_ref = out_refs[2 * ci + 1]
+            cls_ref[0, p, k - lo] = val[:s_half].astype(cls_ref.dtype)
+            pts_ref[0, p, k - lo] = val[s_half:].astype(pts_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, TP, body, 0)
+
+
+def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
+    """Sample cls/pts branches at shared taps, outputs split per column.
+
+    cls_feat/pts_feat: (B, H, W, C); pos_yx: (B, P, K, 2) with K == sum(taps).
+    Returns a list of len(taps) pairs: [(cls_(B,P,t,C), pts_(B,P,t,C)), ...].
+    """
+    B, H, W, C = cls_feat.shape
+    _, P, K, _ = pos_yx.shape
+    assert K == sum(taps) and C % LANE == 0
+    S = C // LANE
+
+    feat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
+    starts, w4 = _prep_indices(pos_yx, H, W)
+    P_pad = -(-P // TP) * TP
+    if P_pad != P:
+        pad = [(0, 0), (0, P_pad - P), (0, 0), (0, 0)]
+        starts = jnp.pad(starts, pad)
+        w4 = jnp.pad(w4, pad)
+    starts = starts.reshape(B, P_pad // TP, TP, K * 2)
+    w4 = w4.reshape(B, P_pad // TP, TP, K * 4)
+    feat_r = feat.reshape(B, H * W, 2 * S, LANE)
+    n_pt = P_pad // TP
+
+    out_shapes, out_specs = [], []
+    for t in taps:
+        for _branch in range(2):
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (B, P_pad, t, S, LANE), feat.dtype))
+            out_specs.append(pl.BlockSpec(
+                (1, TP, t, S, LANE), lambda b, i: (b, i, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_split_kernel, K=K, taps=tuple(taps), s_half=S),
+        out_shape=tuple(out_shapes),
+        grid=(B, n_pt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TP, K * 2), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TP, K * 4), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H * W, 2 * S, LANE), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+    )(starts, w4, feat_r)
+
+    result = []
+    for ci, t in enumerate(taps):
+        pair = []
+        for br in range(2):
+            o = outs[2 * ci + br].reshape(B, P_pad, t, C)
+            pair.append(o[:, :P] if P_pad != P else o)
+        result.append(tuple(pair))
+    return result
+
+
+def _split_xla(cls_feat, pts_feat, pos_yx, taps):
+    """XLA reference of deform_sample_split_pallas (also the backward)."""
+    from kgdet_tpu.ops.deform import bilinear_gather
+    feat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
+    C = cls_feat.shape[-1]
+    samples = bilinear_gather(feat, pos_yx)
+    out = []
+    lo = 0
+    for t in taps:
+        col = samples[:, :, lo:lo + t]
+        lo += t
+        out.append((col[..., :C], col[..., C:]))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def deform_sample_split(cls_feat, pts_feat, pos_yx, taps):
+    """Column/branch-split deformable sampling (Pallas fwd, XLA bwd)."""
+    return deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps)
+
+
+def _split_fwd(cls_feat, pts_feat, pos_yx, taps):
+    return (deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps),
+            (cls_feat, pts_feat, pos_yx))
+
+
+def _split_bwd(taps, res, g):
+    cls_feat, pts_feat, pos_yx = res
+    _, vjp = jax.vjp(
+        lambda cf, pf, p: _split_xla(cf, pf, p, taps),
+        cls_feat, pts_feat, pos_yx)
+    return vjp(g)
+
+
+deform_sample_split.defvjp(_split_fwd, _split_bwd)

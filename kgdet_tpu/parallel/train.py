@@ -135,7 +135,7 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig):
                       pos_num=cfg.assigner.pos_num)
         for g, v in zip(grids, valids)
     ]
-    if cfg.head.type == 'KGDetHead':
+    if cfg.head.type in ('KGDetHead', 'KGDetHead1Rep'):
         return kgdet_loss(outs, grids, init_targets, cfg.head)
 
     # init/refine heads: refine candidates are the decoded init boxes

@@ -80,3 +80,42 @@ def test_jittered_predictions_degrade(demo_ann_file):
     stats = ev.summarize(verbose=False)
     assert 0.1 < stats['AP'] < 1.0
     assert stats['AP50'] >= stats['AP']
+
+
+def test_segm_eval_perfect_predictions():
+    """segm iou_type scores AP=1 on echo-back polygon predictions."""
+    gt_data = {
+        'images': [{'id': 1, 'width': 64, 'height': 48},
+                   {'id': 2, 'width': 64, 'height': 48}],
+        'categories': [{'id': 1, 'name': 'a'}, {'id': 2, 'name': 'b'}],
+        'annotations': [
+            {'id': 1, 'image_id': 1, 'category_id': 1,
+             'bbox': [5, 5, 20, 15], 'area': 300.0, 'iscrowd': 0,
+             'segmentation': [[5, 5, 25, 5, 25, 20, 5, 20]]},
+            {'id': 2, 'image_id': 2, 'category_id': 2,
+             'bbox': [10, 10, 30, 20], 'area': 600.0, 'iscrowd': 0,
+             'segmentation': [[10, 10, 40, 10, 40, 30, 10, 30]]},
+        ],
+    }
+    gt = CocoIndex(gt_data)
+    res = [{'image_id': a['image_id'], 'category_id': a['category_id'],
+            'segmentation': a['segmentation'], 'bbox': a['bbox'],
+            'score': 0.9, 'area': a['area']}
+           for a in gt_data['annotations']]
+    dt = gt.load_results(res)
+    ev = CocoEvaluator(gt, dt, 'segm')
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert stats['AP'] == pytest.approx(1.0, abs=1e-6), stats
+
+    # shifted masks must degrade AP at high IoU thresholds
+    res_bad = [dict(r, segmentation=[[c + (6 if i % 2 == 0 else 0)
+                                      for i, c in enumerate(r['segmentation'][0])]])
+               for r in res]
+    dt2 = gt.load_results(res_bad)
+    ev2 = CocoEvaluator(gt, dt2, 'segm')
+    ev2.evaluate()
+    ev2.accumulate()
+    s2 = ev2.summarize(verbose=False)
+    assert s2['AP'] < stats['AP']

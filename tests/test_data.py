@@ -198,3 +198,19 @@ def test_loader_test_mode_covers_all(synth_data):
     for b in loader:
         seen.extend(b['img_id'].tolist())
     assert set(seen) >= {r.img_id for r in ds.records}
+
+
+def test_apply_keypoint_groups():
+    from kgdet_tpu.data.dataset import apply_keypoint_groups
+    from kgdet_tpu.data.deepfashion2_meta import KEYPOINT_GROUPS
+    kpts = np.zeros((1, NUM_KEYPOINTS, 3), np.float32)
+    group = np.asarray(KEYPOINT_GROUPS[0], np.int64) - 1
+    kpts[0, group[1]] = [10.0, 20.0, 2.0]   # one visible member
+    out = apply_keypoint_groups(kpts)
+    # whole group takes the visible member's value
+    np.testing.assert_allclose(out[0, group], [[10.0, 20.0, 2.0]] * len(group))
+    # untouched groups stay zero
+    other = np.asarray(KEYPOINT_GROUPS[40], np.int64) - 1
+    assert np.all(out[0, other] == 0)
+    # input not mutated
+    assert np.all(kpts[0, group[0]] == 0)

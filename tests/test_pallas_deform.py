@@ -77,3 +77,46 @@ def test_hybrid_gradient_matches_xla():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
                                atol=1e-4)
+
+
+def test_split_pallas_matches_xla():
+    from kgdet_tpu.ops.pallas_deform import (
+        deform_sample_split_pallas, _split_xla)
+    rng = np.random.RandomState(5)
+    B, H, W, C = 2, 5, 6, 128
+    taps = (2, 3, 4)
+    K = sum(taps)
+    P = 7
+    cls_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pts_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
+    got = deform_sample_split_pallas(cls_f, pts_f, pos, taps)
+    want = _split_xla(cls_f, pts_f, pos, taps)
+    for (gc, gp), (wc, wp) in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(wc), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+
+
+def test_split_gradients_match():
+    from kgdet_tpu.ops.pallas_deform import deform_sample_split, _split_xla
+    rng = np.random.RandomState(6)
+    B, H, W, C = 1, 4, 5, 128
+    taps = (2, 3)
+    K = sum(taps)
+    P = 3
+    cls_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pts_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0.2, 3.2, (B, P, K, 2)).astype(np.float32))
+
+    def loss(fn):
+        def f(cf, pf, po):
+            outs = fn(cf, pf, po, taps)
+            return sum(jnp.sum(a ** 2) + jnp.sum(b ** 3)
+                       for a, b in outs)
+        return f
+
+    gh = jax.grad(loss(deform_sample_split), argnums=(0, 1, 2))(
+        cls_f, pts_f, pos)
+    gx = jax.grad(loss(_split_xla), argnums=(0, 1, 2))(cls_f, pts_f, pos)
+    for a, b in zip(gh, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -107,3 +107,57 @@ def test_serial_parallel_forward_and_train(head_type):
     assert np.isfinite(float(logs['loss']))
     for k in ('loss_cls_lvl0', 'loss_bbox_init_lvl1', 'loss_kpt_refine_lvl2'):
         assert np.isfinite(float(logs[k])), k
+
+
+def test_kp1rep_head_forward_and_train():
+    """Single-column cascade ablation (reference Kp1RepBlock)."""
+    import dataclasses
+    from tests.common import tiny_cfg
+    cfg = tiny_cfg()
+    cfg = cfg.replace(head=dataclasses.replace(
+        cfg.head, type='KGDetHead1Rep', num_reppts=9))
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    outs = jax.jit(model.apply)(
+        variables, jnp.zeros((2, CANVAS[0], CANVAS[1], 3)))
+    H, W = CANVAS[0] // 32, CANVAS[1] // 32
+    assert outs[0]['bbox'].shape == (3, 2, H, W, 4)
+    # single-column DCN param names have no kernel-size suffix
+    blk = variables['params']['head']['kp_rep_block_2']
+    assert 'cls_dfmconv' in blk and 'cls_dfmconv_3' not in blk
+    assert blk['cls_dfmconv'].shape[0] == 9
+
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    _, _, logs = step(params, stats, opt_state, batch)
+    assert np.isfinite(float(logs['loss']))
+
+
+def test_flip_forward_equivariance():
+    """Flip-ensembled head: cls maps are exactly flip-equivariant.
+
+    Head-level property (the backbone's stride-2 convs aren't pixel-exact
+    flip-equivariant, so this holds at the feature level, which is where the
+    reference applies forward_single_flip).
+    """
+    from kgdet_tpu.models.kgdet_head import KGDetHead
+    head = KGDetHead(num_classes=13, in_channels=64, feat_channels=64,
+                     point_feat_channels=64, stacked_convs=1,
+                     num_keypts=TINY_KPTS, gn_groups=8, flip_forward=True)
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(1, 4, 6, 64), jnp.float32)
+    variables = jax.jit(head.init)(jax.random.PRNGKey(0), (feat,))
+    apply = jax.jit(lambda v, f: head.apply(v, (f,)))
+    out = apply(variables, feat)
+    out_f = apply(variables, feat[:, :, ::-1])
+    np.testing.assert_allclose(
+        np.asarray(out[0]['cls']),
+        np.asarray(out_f[0]['cls'][:, :, :, ::-1]), atol=2e-5)
+    # keypoint offsets: y-first pairs with x negated under the flip
+    kpt = np.asarray(out[0]['kpt'])
+    kpt_f = np.asarray(out_f[0]['kpt'][:, :, :, ::-1])
+    np.testing.assert_allclose(kpt[..., 0::2], kpt_f[..., 0::2], atol=2e-5)
+    np.testing.assert_allclose(kpt[..., 1::2], -kpt_f[..., 1::2], atol=2e-5)
