@@ -49,3 +49,104 @@ def smooth_l1_loss(pred, target, weights=None, beta=1.0, avg_factor=None):
     if avg_factor is None:
         return loss.mean()
     return loss.sum() / avg_factor
+
+
+def cross_entropy_loss(logits, labels, weights=None, avg_factor=None):
+    """Softmax CE over (N, C+1) logits with 0-based integer labels
+    (parity: mmdet/models/losses/cross_entropy_loss.py)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    loss = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if weights is not None:
+        loss = loss * weights
+    if avg_factor is None:
+        return loss.mean()
+    return loss.sum() / avg_factor
+
+
+def balanced_l1_loss(pred, target, weights=None, beta=1.0, alpha=0.5,
+                     gamma=1.5, avg_factor=None):
+    """Balanced L1 (Libra R-CNN; parity: mmdet balanced_l1_loss.py)."""
+    diff = jnp.abs(pred - target)
+    b = jnp.e ** (gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log1p(b * diff / beta)
+        - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta)
+    if weights is not None:
+        loss = loss * weights
+    if avg_factor is None:
+        return loss.mean()
+    return loss.sum() / avg_factor
+
+
+def iou_loss(pred, target, weights=None, eps=1e-6, avg_factor=None):
+    """-log(IoU) between xyxy boxes (parity: mmdet iou_loss.py)."""
+    tl = jnp.maximum(pred[..., :2], target[..., :2])
+    br = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_p = jnp.clip(pred[..., 2] - pred[..., 0], 0, None) * \
+        jnp.clip(pred[..., 3] - pred[..., 1], 0, None)
+    area_t = jnp.clip(target[..., 2] - target[..., 0], 0, None) * \
+        jnp.clip(target[..., 3] - target[..., 1], 0, None)
+    union = area_p + area_t - inter
+    iou = inter / jnp.maximum(union, eps)
+    loss = -jnp.log(jnp.maximum(iou, eps))
+    if weights is not None:
+        loss = loss * weights
+    if avg_factor is None:
+        return loss.mean()
+    return loss.sum() / avg_factor
+
+
+def giou_loss(pred, target, weights=None, eps=1e-6, avg_factor=None):
+    """1 - GIoU between xyxy boxes."""
+    tl = jnp.maximum(pred[..., :2], target[..., :2])
+    br = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_p = jnp.clip(pred[..., 2] - pred[..., 0], 0, None) * \
+        jnp.clip(pred[..., 3] - pred[..., 1], 0, None)
+    area_t = jnp.clip(target[..., 2] - target[..., 0], 0, None) * \
+        jnp.clip(target[..., 3] - target[..., 1], 0, None)
+    union = jnp.maximum(area_p + area_t - inter, eps)
+    iou = inter / union
+    etl = jnp.minimum(pred[..., :2], target[..., :2])
+    ebr = jnp.maximum(pred[..., 2:], target[..., 2:])
+    ewh = jnp.clip(ebr - etl, 0, None)
+    enclose = jnp.maximum(ewh[..., 0] * ewh[..., 1], eps)
+    giou = iou - (enclose - union) / enclose
+    loss = 1 - giou
+    if weights is not None:
+        loss = loss * weights
+    if avg_factor is None:
+        return loss.mean()
+    return loss.sum() / avg_factor
+
+
+def ghm_c_loss(logits, labels, weights=None, bins=10, momentum=0.0,
+               avg_factor=None):
+    """Gradient-harmonized classification loss (static single-pass variant;
+    parity: mmdet/models/losses/ghm_loss.py without the EMA state)."""
+    num_classes = logits.shape[-1]
+    target = jax.nn.one_hot(labels - 1, num_classes, dtype=logits.dtype)
+    target = target * (labels > 0)[..., None].astype(logits.dtype)
+    valid = (weights[..., None] > 0 if weights is not None
+             else jnp.ones_like(target, bool))
+    g = jnp.abs(jax.nn.sigmoid(logits) - target)
+    total = jnp.maximum(valid.sum(), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1).at[-1].add(1e-6)
+    w = jnp.zeros_like(g)
+    for i in range(bins):
+        in_bin = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = in_bin.sum()
+        w = jnp.where(in_bin & (num_in_bin > 0),
+                      total / jnp.maximum(num_in_bin, 1.0), w)
+    w = w / bins
+    bce = jnp.clip(logits, 0, None) - logits * target + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    loss = bce * w
+    if avg_factor is None:
+        avg_factor = total
+    return loss.sum() / avg_factor

@@ -196,3 +196,33 @@ def test_smooth_l1():
     got = float(smooth_l1_loss(pred, tgt, w, beta=1.0, avg_factor=2.0))
     # |d|=1 -> 0.5; |d|=2 -> 1.5 ; weights kill the middle
     np.testing.assert_allclose(got, (0.5 + 1.5) / 2.0)
+
+
+def test_extra_losses_finite_and_sane():
+    from kgdet_tpu.ops.losses import (
+        balanced_l1_loss, cross_entropy_loss, ghm_c_loss, giou_loss,
+        iou_loss)
+    rng = np.random.RandomState(0)
+    corners = np.sort(rng.uniform(0, 50, (6, 2, 2)), axis=1)
+    pred = jnp.asarray(np.concatenate(
+        [corners[:, 0], corners[:, 1]], axis=1))  # (x1, y1, x2, y2)
+    # iou/giou of identical boxes = 0 loss
+    assert float(iou_loss(pred, pred)) < 1e-5
+    assert float(giou_loss(pred, pred)) < 1e-5
+    shifted = pred + 5.0
+    assert float(iou_loss(pred, shifted)) > 0.1
+    assert float(giou_loss(pred, shifted)) > 0.1
+    # balanced L1 at 0 diff = 0, monotone
+    z = jnp.zeros((4,))
+    assert float(balanced_l1_loss(z, z)) == 0.0
+    assert float(balanced_l1_loss(z + 2, z)) > float(
+        balanced_l1_loss(z + 1, z))
+    # CE picks the right class
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0]])
+    assert float(cross_entropy_loss(
+        logits, jnp.asarray([0, 1]))) < 1e-3
+    # GHM finite
+    g = float(ghm_c_loss(jnp.asarray(rng.randn(8, 13), jnp.float32),
+                         jnp.asarray([0, 1, 3, 0, 5, 13, 2, 0]),
+                         jnp.ones(8)))
+    assert np.isfinite(g) and g > 0
