@@ -114,7 +114,10 @@ class TestConfig:
     nms_pre: int = 1000
     min_bbox_size: float = 0.0
     score_thr: float = 0.05
+    nms_type: str = 'nms'            # 'nms' | 'soft_nms'
     nms_iou_thr: float = 0.5
+    soft_nms_sigma: float = 0.5
+    soft_nms_min_score: float = 1e-3
     max_per_class: int = 100
     max_per_img: int = 100
 

@@ -95,7 +95,9 @@ def decode_detections(level_outs: List[Dict], level_points: Sequence,
     def nms_one(b, s, k):
         return multiclass_nms_kp(
             b, s, k, cfg.score_thr, cfg.nms_iou_thr,
-            max_per_class=cfg.max_per_class, max_per_img=cfg.max_per_img)
+            max_per_class=cfg.max_per_class, max_per_img=cfg.max_per_img,
+            nms_type=cfg.nms_type, soft_sigma=cfg.soft_nms_sigma,
+            soft_min_score=cfg.soft_nms_min_score)
 
     det_bboxes, det_labels, det_kpts, valid = jax.vmap(nms_one)(
         bboxes, scores, kpts)

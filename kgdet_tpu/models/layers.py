@@ -88,6 +88,43 @@ class ConvModule(nn.Module):
         return x
 
 
+class ConvWS(nn.Module):
+    """Weight-standardized conv (parity: mmdet/models/utils/conv_ws.py):
+    kernel is normalized to zero mean / unit std over (kh, kw, cin) per
+    output channel before the convolution."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = 'SAME'
+    use_bias: bool = True
+    eps: float = 1e-5
+    kernel_init: Callable = he_normal_init()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param('kernel', self.kernel_init,
+                            (k, k, cin, self.features), jnp.float32)
+        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        std = kernel.std(axis=(0, 1, 2), keepdims=True)
+        kernel = ((kernel - mean) / (std + self.eps)).astype(self.dtype)
+        pad = self.padding
+        if isinstance(pad, str):
+            padding = pad
+        else:
+            padding = [(pad, pad)] * 2
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel, (self.strides, self.strides),
+            padding, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def max_pool_3x3_s2(x):
     """3x3/2 max-pool with pad=1 (torch stem semantics: -inf padding)."""
     return lax.reduce_window(

@@ -174,10 +174,18 @@ def deform_conv_from_samples(samples, weight, bias=None):
     return out.astype(samples.dtype)
 
 
-def deform_conv(feat, rel_offsets_yx, weight, bias=None):
-    """Full deformable conv: sample + contract. Returns (B, H, W, Cout)."""
+def deform_conv(feat, rel_offsets_yx, weight, bias=None, modulation=None):
+    """Full deformable conv: sample + contract. Returns (B, H, W, Cout).
+
+    modulation: optional (B, H, W, K) per-tap scalar gates — the v2
+    ("modulated") DCN extension (parity: deform_conv_cuda.cpp:467-866,
+    modulated_deform_conv_cuda_forward). None = v1 behavior.
+    """
     B, H, W, _ = feat.shape
     cols = deform_sample(feat, rel_offsets_yx)
+    if modulation is not None:
+        K = rel_offsets_yx.shape[3]
+        cols = cols * modulation.reshape(B, H * W, K, 1).astype(cols.dtype)
     out = deform_conv_from_samples(cols, weight, bias)
     return out.reshape(B, H, W, weight.shape[-1])
 

@@ -61,8 +61,42 @@ def greedy_nms(boxes, scores, iou_thr, max_out, offset=1.0):
     return keep_idx, keep_scores
 
 
+def soft_nms(boxes, scores, iou_thr, max_out, sigma=0.5, min_score=1e-3,
+             method='linear', offset=1.0):
+    """Soft-NMS (linear/gaussian decay) with fixed output size.
+
+    Greedy selection like greedy_nms, but instead of suppressing overlapping
+    boxes their scores decay: linear (1 - iou for iou > thr) or gaussian
+    exp(-iou^2 / sigma); boxes falling below min_score are dropped.
+
+    Parity: mmdet/ops/nms/src/soft_nms_cpu.pyx:22-127.
+    """
+    def body(state, _):
+        scores_cur = state
+        best = jnp.argmax(scores_cur)
+        best_score = scores_cur[best]
+        box = boxes[best]
+        iou = pairwise_iou_single(box, boxes, offset)
+        if method == 'gaussian':
+            decay = jnp.exp(-(iou * iou) / sigma)
+        else:
+            decay = jnp.where(iou > iou_thr, 1.0 - iou, 1.0)
+        new_scores = scores_cur * decay
+        new_scores = jnp.where(new_scores < min_score, NEG_INF, new_scores)
+        new_scores = new_scores.at[best].set(NEG_INF)
+        valid = best_score > NEG_INF / 2
+        new_scores = jnp.where(valid, new_scores, scores_cur)
+        return new_scores, (jnp.where(valid, best, -1),
+                            jnp.where(valid, best_score, NEG_INF))
+
+    _, (keep_idx, keep_scores) = jax.lax.scan(
+        body, scores, None, length=max_out)
+    return keep_idx, keep_scores
+
+
 def multiclass_nms_kp(boxes, scores, kpts, score_thr, iou_thr,
-                      max_per_class=100, max_per_img=100, offset=1.0):
+                      max_per_class=100, max_per_img=100, offset=1.0,
+                      nms_type='nms', soft_sigma=0.5, soft_min_score=1e-3):
     """Multi-class NMS carrying keypoints, fully on device with fixed shapes.
 
     Args:
@@ -81,9 +115,13 @@ def multiclass_nms_kp(boxes, scores, kpts, score_thr, iou_thr,
     masked = jnp.where(scores > score_thr, scores, NEG_INF)  # (N, C)
     per_class = jnp.swapaxes(masked, 0, 1)  # (C, N)
 
-    keep_idx, keep_scores = jax.vmap(
-        lambda s: greedy_nms(boxes, s, iou_thr, max_per_class, offset)
-    )(per_class)  # (C, max_per_class)
+    if nms_type == 'soft_nms':
+        run = lambda s: soft_nms(boxes, s, iou_thr, max_per_class,
+                                 sigma=soft_sigma, min_score=soft_min_score,
+                                 offset=offset)
+    else:
+        run = lambda s: greedy_nms(boxes, s, iou_thr, max_per_class, offset)
+    keep_idx, keep_scores = jax.vmap(run)(per_class)  # (C, max_per_class)
 
     flat_scores = keep_scores.reshape(-1)
     flat_idx = keep_idx.reshape(-1)

@@ -226,3 +226,38 @@ def test_extra_losses_finite_and_sane():
                          jnp.asarray([0, 1, 3, 0, 5, 13, 2, 0]),
                          jnp.ones(8)))
     assert np.isfinite(g) and g > 0
+
+
+def test_conv_ws_normalizes_kernel():
+    from kgdet_tpu.models.layers import ConvWS
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    m = ConvWS(features=8, kernel_size=3)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # scale the kernel: weight standardization makes the output invariant
+    v2 = {'params': {'kernel': v['params']['kernel'] * 7.0 + 0.0,
+                     'bias': v['params']['bias']}}
+    y1 = m.apply(v, x)
+    y2 = m.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-3)
+
+
+def test_modulated_deform_conv():
+    rng = np.random.RandomState(1)
+    B, H, W, C, Cout = 1, 6, 6, 4, 5
+    feat = rng.randn(B, H, W, C).astype(np.float32)
+    w = rng.randn(9, C, Cout).astype(np.float32) * 0.1
+    base = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], indexing='ij'),
+                    axis=-1).reshape(9, 2).astype(np.float32)
+    offs = np.broadcast_to(base, (B, H, W, 9, 2))
+    # modulation 0 -> zero output; modulation 1 -> plain DCN
+    mod0 = jnp.zeros((B, H, W, 9))
+    mod1 = jnp.ones((B, H, W, 9))
+    out0 = deform_conv(jnp.asarray(feat), jnp.asarray(offs), jnp.asarray(w),
+                       modulation=mod0)
+    out1 = deform_conv(jnp.asarray(feat), jnp.asarray(offs), jnp.asarray(w),
+                       modulation=mod1)
+    plain = deform_conv(jnp.asarray(feat), jnp.asarray(offs), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out0), 0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(plain),
+                               atol=1e-5)
