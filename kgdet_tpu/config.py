@@ -95,6 +95,10 @@ class HeadConfig:
     smooth_l1_beta: float = 1.0 / 9.0
     # horizontal flip-ensembled forward (TTA, reference flip_forward)
     flip_forward: bool = False
+    # anchor-based heads (RetinaHead)
+    octave_base_scale: int = 4
+    scales_per_octave: int = 3
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
 
 
 @dataclass(frozen=True)

@@ -28,13 +28,34 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
     """One jitted predict per canvas bucket (static shapes)."""
     fns = {}
     for canvas in canvases:
-        grids = build_level_geometry(cfg, canvas)
+        if cfg.head.type == 'RetinaHead':
+            from kgdet_tpu.core.anchor_loss import decode_detections_anchor
+            from kgdet_tpu.models.retina_head import RetinaHead
+            from kgdet_tpu.ops.anchors import grid_anchors
+            head = RetinaHead(
+                num_classes=cfg.head.num_classes,
+                octave_base_scale=cfg.head.octave_base_scale,
+                scales_per_octave=cfg.head.scales_per_octave,
+                anchor_ratios=cfg.head.anchor_ratios,
+                anchor_strides=cfg.head.point_strides)
+            anchors = [
+                grid_anchors(base, canvas[0] // s, canvas[1] // s, s)
+                for base, s in zip(head.base_anchors_per_level(),
+                                   cfg.head.point_strides)]
 
-        def predict(variables, batch, grids=grids):
-            outs = model.apply(variables, batch['image'])
-            return decode_detections(
-                outs, grids, batch['img_hw'], batch['scale_factor'],
-                cfg.test, num_keypts=cfg.head.num_keypts)
+            def predict(variables, batch, anchors=anchors):
+                outs = model.apply(variables, batch['image'])
+                return decode_detections_anchor(
+                    outs, anchors, batch['img_hw'], batch['scale_factor'],
+                    cfg.test, num_classes=cfg.head.num_classes)
+        else:
+            grids = build_level_geometry(cfg, canvas)
+
+            def predict(variables, batch, grids=grids):
+                outs = model.apply(variables, batch['image'])
+                return decode_detections(
+                    outs, grids, batch['img_hw'], batch['scale_factor'],
+                    cfg.test, num_keypts=cfg.head.num_keypts)
 
         fns[tuple(canvas)] = jax.jit(predict)
     return fns

@@ -15,12 +15,14 @@ from kgdet_tpu.config import BACKBONES, DETECTORS, HEADS, NECKS, KGDetConfig
 from kgdet_tpu.models.fpn import FPN
 from kgdet_tpu.models.kgdet_head import KGDetHead
 from kgdet_tpu.models.resnet import ResNet
+from kgdet_tpu.models.retina_head import RetinaHead
 from kgdet_tpu.models.serial_head import SerialKpHead
 
 BACKBONES.register(ResNet)
 NECKS.register(FPN)
 HEADS.register(KGDetHead)
 HEADS.register(SerialKpHead)
+HEADS.register(RetinaHead)
 
 
 @DETECTORS.register
@@ -47,19 +49,32 @@ class KGDetDetector(nn.Module):
             add_extra_convs=cfg.neck.add_extra_convs,
             select_out=cfg.neck.select_out, norm=cfg.neck.norm,
             gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
-        head_kwargs = dict(
-            num_classes=cfg.head.num_classes,
-            in_channels=cfg.head.in_channels,
-            feat_channels=cfg.head.feat_channels,
-            point_feat_channels=cfg.head.point_feat_channels,
-            stacked_convs=cfg.head.stacked_convs,
-            num_keypts=cfg.head.num_keypts,
-            gradient_mul=cfg.head.gradient_mul,
-            point_strides=cfg.head.point_strides,
-            point_base_scale=cfg.head.point_base_scale,
-            transform_method=cfg.head.transform_method,
-            moment_mul=cfg.head.moment_mul, norm=cfg.head.norm,
-            gn_groups=cfg.head.gn_groups, dtype=dtype, name='head')
+        if cfg.head.type == 'RetinaHead':
+            head_kwargs = dict(
+                num_classes=cfg.head.num_classes,
+                in_channels=cfg.head.in_channels,
+                feat_channels=cfg.head.feat_channels,
+                stacked_convs=cfg.head.stacked_convs,
+                octave_base_scale=cfg.head.octave_base_scale,
+                scales_per_octave=cfg.head.scales_per_octave,
+                anchor_ratios=cfg.head.anchor_ratios,
+                anchor_strides=cfg.head.point_strides,
+                norm=cfg.head.norm, gn_groups=cfg.head.gn_groups,
+                dtype=dtype, name='head')
+        else:
+            head_kwargs = dict(
+                num_classes=cfg.head.num_classes,
+                in_channels=cfg.head.in_channels,
+                feat_channels=cfg.head.feat_channels,
+                point_feat_channels=cfg.head.point_feat_channels,
+                stacked_convs=cfg.head.stacked_convs,
+                num_keypts=cfg.head.num_keypts,
+                gradient_mul=cfg.head.gradient_mul,
+                point_strides=cfg.head.point_strides,
+                point_base_scale=cfg.head.point_base_scale,
+                transform_method=cfg.head.transform_method,
+                moment_mul=cfg.head.moment_mul, norm=cfg.head.norm,
+                gn_groups=cfg.head.gn_groups, dtype=dtype, name='head')
         if cfg.head.flip_forward and cfg.head.type.startswith('KGDetHead'):
             flip_indices = None
             if cfg.head.num_keypts == 294:

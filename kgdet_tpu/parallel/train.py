@@ -126,8 +126,33 @@ def batch_valid_flags(cfg: KGDetConfig, canvas_hw, valid_hw):
 
 
 # --------------------------------------------------------------- train step
-def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig):
+def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
+                 canvas_hw=None):
     """Dispatch target building + loss by head family."""
+    if cfg.head.type == 'RetinaHead':
+        from kgdet_tpu.core.anchor_loss import retina_loss
+        from kgdet_tpu.models.retina_head import RetinaHead
+        from kgdet_tpu.ops.anchors import anchor_valid_flags, grid_anchors
+        H, W = canvas_hw
+        head = RetinaHead(
+            num_classes=cfg.head.num_classes,
+            octave_base_scale=cfg.head.octave_base_scale,
+            scales_per_octave=cfg.head.scales_per_octave,
+            anchor_ratios=cfg.head.anchor_ratios,
+            anchor_strides=cfg.head.point_strides)
+        bases = head.base_anchors_per_level()
+        A = head.num_anchors
+        anchors, avalids = [], []
+        for base, stride in zip(bases, cfg.head.point_strides):
+            fh, fw = H // stride, W // stride
+            anchors.append(grid_anchors(base, fh, fw, stride))
+            vh = jnp.ceil(batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
+            vw = jnp.ceil(batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
+            avalids.append(jax.vmap(
+                lambda a, b: anchor_valid_flags(fh, fw, A, a, b))(vh, vw))
+        ra = cfg.refine_assigner or cfg.assigner
+        return retina_loss(outs, anchors, avalids, batch, cfg.head, ra)
+
     init_targets = [
         point_targets(g, v, batch['gt_bboxes'], batch['gt_labels'],
                       batch['gt_kpts'], batch['gt_mask'],
@@ -166,7 +191,8 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
         outs = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['image'])
         valids = batch_valid_flags(cfg, canvas_hw, batch['valid_hw'])
-        total, logs = compute_loss(outs, grids, valids, batch, cfg)
+        total, logs = compute_loss(outs, grids, valids, batch, cfg,
+                                   canvas_hw=canvas_hw)
         return total, logs
 
     def train_step(params, batch_stats, opt_state, batch):
