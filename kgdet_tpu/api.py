@@ -6,6 +6,7 @@ functions over explicit state.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -74,6 +75,7 @@ class Detector:
         self.model = build_model(cfg)
         self.variables = variables
         self._predict_fns = {}
+        self._scale_detectors = {}
 
     def _predict_for(self, canvas):
         if canvas not in self._predict_fns:
@@ -101,6 +103,10 @@ class Detector:
         resized, sf = imrescale(img, data.img_scale)
         rh, rw = resized.shape[:2]
         canvas = data.canvas_hw[0 if rw >= rh else (len(data.canvas_hw) - 1)]
+        if rh > canvas[0] or rw > canvas[1]:
+            # off-recipe scale: fall back to a /32-rounded bucket of its own
+            div = data.size_divisor
+            canvas = (-(-rh // div) * div, -(-rw // div) * div)
         x = pad_to_canvas(imnormalize(resized).astype(np.float32), canvas)
         feed = {
             'image': jnp.asarray(x[None]),
@@ -114,6 +120,59 @@ class Detector:
         kpts = np.asarray(dets['det_kpts'][0])[valid].reshape(
             -1, self.cfg.head.num_keypts, 3)
         return boxes, labels, kpts
+
+
+    def aug_call(self, img, scales=None, flip=True, score_thr=None):
+        """Multi-scale / flip test-time augmentation (boxes only).
+
+        Mirrors the reference's aug_test (reppoints_detector_kp.py:118-148):
+        per-aug detections are mapped back to original coordinates, merged,
+        and re-suppressed with NMS; keypoints are dropped in aug mode.
+        """
+        import cv2
+
+        from kgdet_tpu.data.transforms import flip_bboxes
+        from kgdet_tpu.ops.nms import multiclass_nms_kp
+
+        if isinstance(img, str):
+            img = cv2.imread(img)
+            if img is None:
+                raise FileNotFoundError(img)
+        base_scale = self.cfg.val_data.img_scale
+        scales = scales or [base_scale]
+        all_boxes, all_labels, all_scores = [], [], []
+        for scale in scales:
+            for do_flip in ([False, True] if flip else [False]):
+                aug_img = img[:, ::-1] if do_flip else img
+                key = tuple(scale)
+                if key not in self._scale_detectors:
+                    cfg = self.cfg.replace(
+                        val_data=dataclasses.replace(
+                            self.cfg.val_data, img_scale=key))
+                    self._scale_detectors[key] = Detector(cfg, self.variables)
+                det = self._scale_detectors[key]
+                boxes, labels, _ = det(np.ascontiguousarray(aug_img))
+                if do_flip and len(boxes):
+                    boxes[:, :4] = flip_bboxes(boxes[:, :4], img.shape[1])
+                all_boxes.append(boxes)
+                all_labels.append(labels)
+        boxes = np.concatenate(all_boxes, axis=0)
+        labels = np.concatenate(all_labels, axis=0)
+        if not len(boxes):
+            return boxes, labels
+        # merged NMS over per-class score columns
+        C = self.cfg.head.num_classes
+        scores = np.zeros((len(boxes), C), np.float32)
+        scores[np.arange(len(boxes)), labels] = boxes[:, 4]
+        t = self.cfg.test
+        det_b, det_l, _, valid = multiclass_nms_kp(
+            jnp.asarray(boxes[:, :4]), jnp.asarray(scores),
+            jnp.zeros((len(boxes), 3), jnp.float32),
+            score_thr if score_thr is not None else t.score_thr,
+            t.nms_iou_thr, max_per_class=t.max_per_class,
+            max_per_img=t.max_per_img)
+        v = np.asarray(valid)
+        return np.asarray(det_b)[v], np.asarray(det_l)[v]
 
 
 def init_detector(config_path_or_cfg, checkpoint=None, pth=None) -> Detector:

@@ -150,10 +150,8 @@ def _hybrid_fwd(feat, pos_yx):
 
 
 def _hybrid_bwd(res, g):
-    from kgdet_tpu.ops.deform import bilinear_gather
     feat, pos_yx = res
-    _, vjp = jax.vjp(bilinear_gather, feat, pos_yx)
-    return vjp(g)
+    return _deform_bwd_pallas(feat, pos_yx, g)
 
 
 deform_sample_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
@@ -254,6 +252,136 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
     return result
 
 
+def _bwd_kernel(starts_ref, w_ref, g_ref, gfeat_ref, *, K, n_pt):
+    """Backward feature-grad: scatter-accumulate w_ij * g into a
+    VMEM-resident gradient map.
+
+    gfeat_ref block index is constant over the p-tile grid dimension, so
+    Mosaic keeps it resident: zero at the first tile, accumulate across
+    tiles, flushed to HBM when the batch index changes. (The position
+    gradient is computed in XLA from an einsum over gathered patches.)
+    """
+    pt = pl.program_id(1)
+
+    @pl.when(pt == 0)
+    def _():
+        gfeat_ref[...] = jnp.zeros(gfeat_ref.shape, gfeat_ref.dtype)
+
+    def body(p, _):
+        for k in range(K):
+            r0 = starts_ref[0, 0, p, 2 * k]
+            r1 = starts_ref[0, 0, p, 2 * k + 1]
+            w00 = w_ref[0, 0, p, 4 * k]
+            w01 = w_ref[0, 0, p, 4 * k + 1]
+            w10 = w_ref[0, 0, p, 4 * k + 2]
+            w11 = w_ref[0, 0, p, 4 * k + 3]
+            g = g_ref[0, p, k].astype(jnp.float32)       # (S, LANE)
+            # feature gradient: read-modify-write the two row pairs
+            gt = gfeat_ref[0, pl.ds(r0, 2)]
+            gfeat_ref[0, pl.ds(r0, 2)] = gt + jnp.stack(
+                [g * w00, g * w01])
+            gb = gfeat_ref[0, pl.ds(r1, 2)]
+            gfeat_ref[0, pl.ds(r1, 2)] = gb + jnp.stack(
+                [g * w10, g * w11])
+        return 0
+
+    lax.fori_loop(0, g_ref.shape[1], body, 0)
+
+
+def _deform_bwd_pallas(feat, pos_yx, g):
+    """Pallas backward of bilinear sampling at absolute positions.
+
+    feat: (B, H, W, C); pos_yx: (B, P, K, 2); g: (B, P, K, C) cotangent.
+    Returns (grad_feat, grad_pos).
+    """
+    B, H, W, C = feat.shape
+    _, P, K, _ = pos_yx.shape
+    S = C // LANE
+
+    starts, w4 = _prep_indices(pos_yx, H, W)
+    P_pad = -(-P // TP) * TP
+    if P_pad != P:
+        pad = [(0, 0), (0, P_pad - P), (0, 0), (0, 0)]
+        starts = jnp.pad(starts, pad)
+        w4 = jnp.pad(w4, pad)
+        g = jnp.pad(g, pad)
+    starts_k = starts.reshape(B, P_pad // TP, TP, K * 2)
+    w4_k = w4.reshape(B, P_pad // TP, TP, K * 4)
+    feat_r = feat.reshape(B, H * W, S, LANE)
+    n_pt = P_pad // TP
+
+    gfeat = pl.pallas_call(
+        functools.partial(_bwd_kernel, K=K, n_pt=n_pt),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, S, LANE), jnp.float32),
+        grid=(B, n_pt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TP, K * 2), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TP, K * 4), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TP, K, S, LANE), lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H * W, S, LANE),
+                               lambda b, i: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(starts_k, w4_k, g.reshape(B, P_pad, K, S, LANE))
+
+    grad_feat = gfeat.reshape(B, H, W, C).astype(feat.dtype)
+
+    # corner contraction scalars via an XLA patch gather + einsum:
+    # s_ij[b,p,k] = <g[b,p,k,:], feat[corner_ij]>
+    PK = P * K
+    y0c_f = starts[:, :P].reshape(B, PK, 2)[..., 0] // W
+    x0c_f = starts[:, :P].reshape(B, PK, 2)[..., 0] % W
+    gstarts = jnp.stack([y0c_f, x0c_f], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    gather_one = lambda f, st: jax.lax.gather(
+        f, st, dnums, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    patches = jax.vmap(gather_one)(feat, gstarts)      # (B, PK, 2, 2, C)
+    s4m = jnp.einsum('bpijc,bpc->bpij',
+                     patches.astype(jnp.float32),
+                     g[:, :P].reshape(B, PK, C).astype(jnp.float32))
+    s4 = s4m.reshape(B, P, K, 2, 2).reshape(B, P, K, 4)
+
+    # position gradient: combine corner scalars with the analytic weight
+    # derivatives (weights from _prep_indices: w_ij = wy_i * wx_j with
+    # coordinate-matched cases; d(1-frac)/dfrac = -1, d(frac)/dfrac = +1)
+    pos_dtype = jnp.promote_types(pos_yx.dtype, jnp.float32)
+    y = pos_yx[..., 0].astype(pos_dtype).reshape(B, P, K)
+    x = pos_yx[..., 1].astype(pos_dtype).reshape(B, P, K)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    dy = y - y0
+    dx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y0c = jnp.clip(y0i, 0, max(H - 2, 0))
+    x0c = jnp.clip(x0i, 0, max(W - 2, 0))
+
+    def axis_w_and_d(c0c, c0i, frac):
+        ws, ds = [], []
+        for slot in (0, 1):
+            cc = c0c + slot
+            ws.append(jnp.where(cc == c0i, 1.0 - frac,
+                                jnp.where(cc == c0i + 1, frac, 0.0)))
+            ds.append(jnp.where(cc == c0i, -1.0,
+                                jnp.where(cc == c0i + 1, 1.0, 0.0)))
+        return ws, ds
+
+    wy, dwy = axis_w_and_d(y0c, y0i, dy)
+    wx, dwx = axis_w_and_d(x0c, x0i, dx)
+    # s4 order: (top0=r0+0, top1=r0+1, bot0=r1+0, bot1=r1+1) = (i, j) pairs
+    s = [[s4[..., 0], s4[..., 1]], [s4[..., 2], s4[..., 3]]]
+    grad_y = sum(dwy[i] * wx[j] * s[i][j] for i in (0, 1) for j in (0, 1))
+    grad_x = sum(wy[i] * dwx[j] * s[i][j] for i in (0, 1) for j in (0, 1))
+    grad_pos = jnp.stack([grad_y, grad_x], axis=-1).astype(pos_yx.dtype)
+    return grad_feat, grad_pos
+
+
 def _split_xla(cls_feat, pts_feat, pos_yx, taps):
     """XLA reference of deform_sample_split_pallas (also the backward)."""
     from kgdet_tpu.ops.deform import bilinear_gather
@@ -281,11 +409,15 @@ def _split_fwd(cls_feat, pts_feat, pos_yx, taps):
 
 
 def _split_bwd(taps, res, g):
+    """Pallas backward: reassemble the per-column cotangents into one
+    (B, P, K, 2C) tensor, run the fused grad kernel, split channel grads."""
     cls_feat, pts_feat, pos_yx = res
-    _, vjp = jax.vjp(
-        lambda cf, pf, p: _split_xla(cf, pf, p, taps),
-        cls_feat, pts_feat, pos_yx)
-    return vjp(g)
+    C = cls_feat.shape[-1]
+    g_full = jnp.concatenate(
+        [jnp.concatenate([gc, gp], axis=-1) for gc, gp in g], axis=2)
+    cat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
+    grad_feat, grad_pos = _deform_bwd_pallas(cat, pos_yx, g_full)
+    return grad_feat[..., :C], grad_feat[..., C:], grad_pos
 
 
 deform_sample_split.defvjp(_split_fwd, _split_bwd)

@@ -119,4 +119,5 @@ def test_split_gradients_match():
         cls_f, pts_f, pos)
     gx = jax.grad(loss(_split_xla), argnums=(0, 1, 2))(cls_f, pts_f, pos)
     for a, b in zip(gh, gx):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-4)
