@@ -167,18 +167,31 @@ class Runner:
             self._step_fns[canvas] = jax.jit(fn, donate_argnums=(0, 2))
         return self._step_fns[canvas]
 
+    def _device_prefetch(self, iterator, depth: int = 2):
+        """Stage host batches on device ahead of the step (overlaps the
+        host->device transfer with the previous step's compute)."""
+        from collections import deque
+        queue = deque()
+        with self.mesh:
+            for batch in iterator:
+                queue.append(shard_batch(self.mesh, batch))
+                if len(queue) > depth:
+                    yield queue.popleft()
+            while queue:
+                yield queue.popleft()
+
     def train_epoch(self):
         cfg = self.cfg
         self.train_loader.set_epoch(self.epoch)
         t_last = time.time()
         n_imgs = 0
-        for it, batch in enumerate(self.train_loader):
+        for it, batch in enumerate(
+                self._device_prefetch(iter(self.train_loader))):
             canvas = tuple(batch['image'].shape[1:3])
             step_fn = self._get_step_fn(canvas)
             with self.mesh:
-                sharded = shard_batch(self.mesh, batch)
                 self.params, self.opt_state, logs = step_fn(
-                    self.params, self.batch_stats, self.opt_state, sharded)
+                    self.params, self.batch_stats, self.opt_state, batch)
             self.step += 1
             n_imgs += batch['image'].shape[0]
             if (it + 1) % self.logger.interval == 0:
