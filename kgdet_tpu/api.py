@@ -21,6 +21,9 @@ from kgdet_tpu.parallel.train import build_level_geometry
 
 
 def build_model(cfg: KGDetConfig):
+    if cfg.detector_type == 'faster_rcnn':
+        from kgdet_tpu.models.two_stage import FasterRCNN
+        return FasterRCNN(cfg)
     return KGDetDetector(cfg)
 
 

@@ -169,6 +169,7 @@ class KGDetConfig:
     train_data: DataConfig = field(default_factory=DataConfig)
     val_data: DataConfig = field(default_factory=DataConfig)
     compute_dtype: str = 'float32'   # 'float32' | 'bfloat16'
+    detector_type: str = 'single_stage'   # 'single_stage' | 'faster_rcnn'
     work_dir: str = './work_dirs/kgdet'
     seed: int = 0
 

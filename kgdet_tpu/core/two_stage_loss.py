@@ -1,0 +1,182 @@
+"""Two-stage training losses (RPN + RCNN) and inference decoding.
+
+Parity surface: mmdet anchor_target with RandomSampler for the RPN
+(256 anchors, pos fraction 0.5), MaxIoU(0.5/0.5) + RandomSampler(512, 0.25)
+for the RCNN stage, CE + smooth-L1 with per-class delta regression
+(target stds (0.1, 0.1, 0.2, 0.2)), and the standard per-class softmax
+decode at test time.
+
+TPU-first deviation: the random samplers draw a fixed per-role quota
+(top-k over random priorities) instead of rebalancing the negative quota by
+the realized positive count — sample counts are static under jit; the loss
+normalizer uses the realized count, so the gradient scale matches.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from kgdet_tpu.core.bbox_transforms import bbox2delta, delta2bbox
+from kgdet_tpu.core.iou_assign import assign_max_iou
+from kgdet_tpu.ops.losses import smooth_l1_loss
+from kgdet_tpu.ops.nms import multiclass_nms_kp
+
+RCNN_TARGET_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
+def _random_quota_mask(rng, mask, quota):
+    """Select up to `quota` True entries of `mask` uniformly at random."""
+    pri = jnp.where(mask, jax.random.uniform(rng, mask.shape), -1.0)
+    if quota >= mask.shape[-1]:
+        return mask
+    thresh = jax.lax.top_k(pri, quota)[0][..., -1:]
+    return mask & (pri >= jnp.maximum(thresh, 0.0))
+
+
+def sample_pos_neg(rng, pos_mask, neg_mask, num, pos_fraction):
+    """Random pos/neg subsampling with static quotas (see module docstring)."""
+    num_pos = int(num * pos_fraction)
+    num_neg = num - num_pos
+    k1, k2 = jax.random.split(rng)
+    pos_sel = _random_quota_mask(k1, pos_mask, num_pos)
+    neg_sel = _random_quota_mask(k2, neg_mask, num_neg)
+    return pos_sel, neg_sel
+
+
+def bce_loss(logits, targets, weights, avg_factor):
+    bce = jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return (bce * weights).sum() / jnp.maximum(avg_factor, 1.0)
+
+
+def rpn_loss(rpn_outs, anchors_per_level, valids_per_level, batch, rng,
+             num_samples=256, pos_fraction=0.5, pos_iou_thr=0.7,
+             neg_iou_thr=0.3, min_pos_iou=0.3):
+    """Binary objectness + box regression over subsampled anchors."""
+    anchors = jnp.concatenate(
+        [jnp.asarray(a) for a in anchors_per_level], axis=0)
+    valid = jnp.concatenate(list(valids_per_level), axis=1)
+    B = valid.shape[0]
+
+    cls = jnp.concatenate(
+        [o['cls'][-1].astype(jnp.float32).reshape(B, -1)
+         for o in rpn_outs], axis=1)
+    reg = jnp.concatenate(
+        [o['bbox'][-1].astype(jnp.float32).reshape(B, -1, 4)
+         for o in rpn_outs], axis=1)
+
+    def single(key, v, gts, mask):
+        a = assign_max_iou(anchors, v, gts, mask, pos_iou_thr, neg_iou_thr,
+                           min_pos_iou)
+        neg = v & ~a.pos_mask & ~a.ignore_mask
+        pos_sel, neg_sel = sample_pos_neg(
+            key, a.pos_mask, neg, num_samples, pos_fraction)
+        cls_t = pos_sel.astype(jnp.float32)
+        cls_w = (pos_sel | neg_sel).astype(jnp.float32)
+        deltas = bbox2delta(anchors, gts[a.assigned_gt])
+        reg_w = pos_sel.astype(jnp.float32)[:, None]
+        return cls_t, cls_w, deltas, reg_w
+
+    keys = jax.random.split(rng, B)
+    cls_t, cls_w, deltas, reg_w = jax.vmap(single)(
+        keys, valid, batch['gt_bboxes'], batch['gt_mask'])
+    avg = cls_w.sum()
+    l_cls = bce_loss(cls, cls_t, cls_w, avg)
+    l_reg = smooth_l1_loss(reg, deltas, reg_w, beta=1.0 / 9.0,
+                           avg_factor=jnp.maximum(avg, 1.0))
+    return l_cls, l_reg
+
+
+def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
+                          rng, num_classes, num_samples=512,
+                          pos_fraction=0.25, pos_iou_thr=0.5,
+                          neg_iou_thr=0.5):
+    """RCNN stage: assign proposals, subsample, CE + per-class smooth-L1."""
+    B, R = proposals.shape[:2]
+    roi_cls = roi_cls.astype(jnp.float32)
+    roi_reg = roi_reg.astype(jnp.float32).reshape(B, R, -1, 4)
+
+    def single(key, props, v, gts, labels, mask):
+        a = assign_max_iou(props, v, gts, mask, pos_iou_thr, neg_iou_thr,
+                           0.0)
+        neg = v & ~a.pos_mask & ~a.ignore_mask
+        pos_sel, neg_sel = sample_pos_neg(
+            key, a.pos_mask, neg, num_samples, pos_fraction)
+        lab = jnp.where(pos_sel, labels[a.assigned_gt], 0)   # 0 = background
+        cls_w = (pos_sel | neg_sel).astype(jnp.float32)
+        deltas = bbox2delta(props, gts[a.assigned_gt],
+                            stds=RCNN_TARGET_STDS)
+        reg_w = pos_sel.astype(jnp.float32)
+        return lab.astype(jnp.int32), cls_w, deltas, reg_w
+
+    keys = jax.random.split(rng, B)
+    labels, cls_w, deltas, reg_w = jax.vmap(single)(
+        keys, proposals, prop_valid, batch['gt_bboxes'],
+        batch['gt_labels'], batch['gt_mask'])
+
+    avg = jnp.maximum(cls_w.sum(), 1.0)
+    logp = jax.nn.log_softmax(roi_cls, axis=-1)
+    l_cls = -(jnp.take_along_axis(
+        logp, labels[..., None], axis=-1)[..., 0] * cls_w).sum() / avg
+
+    # gather the positive class's delta slice (class c -> channel c-1)
+    cls_idx = jnp.clip(labels - 1, 0, num_classes - 1)
+    reg_sel = jnp.take_along_axis(
+        roi_reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+    l_reg = smooth_l1_loss(reg_sel, deltas, reg_w[..., None],
+                           beta=1.0, avg_factor=avg)
+    return l_cls, l_reg
+
+
+def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
+    """Total two-stage loss + logs."""
+    k1, k2 = jax.random.split(rng)
+    l_rpn_cls, l_rpn_reg = rpn_loss(
+        fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1)
+    l_cls, l_reg = rcnn_targets_and_loss(
+        fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
+        fwd['roi_reg'], batch, k2, cfg.head.num_classes)
+    total = l_rpn_cls + l_rpn_reg + l_cls + l_reg
+    return total, {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg,
+                   'loss_cls': l_cls, 'loss_bbox': l_reg}
+
+
+def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
+                           num_classes):
+    """Per-class softmax decode + NMS over the padded proposal set."""
+    proposals = fwd['proposals']
+    valid = fwd['proposal_valid']
+    B, R = proposals.shape[:2]
+    scores = jax.nn.softmax(fwd['roi_cls'].astype(jnp.float32), axis=-1)
+    fg_scores = jnp.where(valid[..., None], scores[..., 1:], 0.0)  # (B,R,C)
+    reg = fwd['roi_reg'].astype(jnp.float32).reshape(B, R, -1, 4)
+
+    # decode every class's box; NMS consumes per-class scores with shared
+    # boxes, so pick each proposal's best-class box (mmdet applies NMS on
+    # per-class boxes; with shared-box NMS the top-class box is the standard
+    # fixed-shape simplification)
+    best = jnp.argmax(fg_scores, axis=-1)
+    reg_best = jnp.take_along_axis(
+        reg, best[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+    boxes = delta2bbox(proposals, reg_best, stds=RCNN_TARGET_STDS)
+    w = img_hw[:, 1][:, None]
+    h = img_hw[:, 0][:, None]
+    boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                       jnp.clip(boxes[..., 1], 0, h),
+                       jnp.clip(boxes[..., 2], 0, w),
+                       jnp.clip(boxes[..., 3], 0, h)],
+                      axis=-1) / scale_factor[:, None, None]
+    dummy_kpts = jnp.zeros((B, R, 3), boxes.dtype)
+
+    def nms_one(b, s, k):
+        return multiclass_nms_kp(
+            b, s, k, test_cfg.score_thr, test_cfg.nms_iou_thr,
+            max_per_class=test_cfg.max_per_class,
+            max_per_img=test_cfg.max_per_img)
+
+    det_bboxes, det_labels, det_kpts, dvalid = jax.vmap(nms_one)(
+        boxes, fg_scores, dummy_kpts)
+    return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
+            'det_kpts': det_kpts, 'valid': dvalid}

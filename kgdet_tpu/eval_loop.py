@@ -28,6 +28,18 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
     """One jitted predict per canvas bucket (static shapes)."""
     fns = {}
     for canvas in canvases:
+        if cfg.detector_type == 'faster_rcnn':
+            from kgdet_tpu.core.two_stage_loss import decode_rcnn_detections
+
+            def predict(variables, batch):
+                fwd = model.apply(variables, batch['image'],
+                                  batch['img_hw'], train=False)
+                return decode_rcnn_detections(
+                    fwd, batch['img_hw'], batch['scale_factor'], cfg.test,
+                    num_classes=cfg.head.num_classes)
+
+            fns[tuple(canvas)] = jax.jit(predict)
+            continue
         if cfg.head.type == 'RetinaHead':
             from kgdet_tpu.core.anchor_loss import decode_detections_anchor
             from kgdet_tpu.models.retina_head import RetinaHead

@@ -1,0 +1,218 @@
+"""Two-stage detection family: RPN head, RoI box head, Faster R-CNN.
+
+Parity surface: the reference's inherited two-stage zoo
+(mmdet/models/anchor_heads/rpn_head.py, bbox_heads/convfc_bbox_head.py,
+detectors/two_stage.py, roi_extractors/single_level.py). TPU-first design:
+proposals are fixed-size padded tensors (top-k + fixed-shape NMS, no dynamic
+box counts), RoI features come from the XLA roi_align, and the FPN level for
+each RoI is selected by the standard log2 scale rule with a masked gather
+instead of per-level python partitioning.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kgdet_tpu.core.bbox_transforms import delta2bbox
+from kgdet_tpu.models.layers import normal_init
+from kgdet_tpu.ops.anchors import base_anchors
+from kgdet_tpu.ops.nms import greedy_nms, NEG_INF
+from kgdet_tpu.ops.roi import roi_align
+
+
+class RPNHead(nn.Module):
+    """Class-agnostic region proposal head (3x3 conv + 1x1 cls/reg)."""
+    in_channels: int = 256
+    feat_channels: int = 256
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        conv = nn.Conv(self.feat_channels, (3, 3), padding='SAME',
+                       kernel_init=normal_init(0.01), dtype=self.dtype,
+                       name='rpn_conv')
+        cls = nn.Conv(self.num_anchors, (1, 1),
+                      kernel_init=normal_init(0.01), dtype=self.dtype,
+                      name='rpn_cls')
+        reg = nn.Conv(self.num_anchors * 4, (1, 1),
+                      kernel_init=normal_init(0.01), dtype=self.dtype,
+                      name='rpn_reg')
+        outs = []
+        for x in feats:
+            t = nn.relu(conv(x))
+            outs.append({'cls': jnp.stack([cls(t)]),
+                         'bbox': jnp.stack([reg(t)])})
+        return outs
+
+
+def rpn_proposals(rpn_outs, anchors_per_level, img_hw, nms_pre=1000,
+                  max_num=1000, nms_thr=0.7, min_bbox_size=0.0):
+    """Decode RPN outputs into fixed-size padded proposals.
+
+    Returns (proposals (B, max_num, 4), scores (B, max_num), valid mask).
+    """
+    B = rpn_outs[0]['cls'].shape[1]
+    lvl_boxes, lvl_scores = [], []
+    for outs, anchors in zip(rpn_outs, anchors_per_level):
+        anchors = jnp.asarray(anchors)
+        P = anchors.shape[0]
+        scores = jax.nn.sigmoid(
+            outs['cls'][-1].astype(jnp.float32).reshape(B, P))
+        reg = outs['bbox'][-1].astype(jnp.float32).reshape(B, P, 4)
+        anc = jnp.broadcast_to(anchors[None], (B, P, 4))
+        k = min(nms_pre, P)
+        top_scores, topk = jax.lax.top_k(scores, k)
+        take = lambda t: jnp.take_along_axis(t, topk[..., None], axis=1)
+        boxes = delta2bbox(take(anc), take(reg))
+        w = img_hw[:, 1][:, None]
+        h = img_hw[:, 0][:, None]
+        boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                           jnp.clip(boxes[..., 1], 0, h),
+                           jnp.clip(boxes[..., 2], 0, w),
+                           jnp.clip(boxes[..., 3], 0, h)], axis=-1)
+        ok = ((boxes[..., 2] - boxes[..., 0] > min_bbox_size)
+              & (boxes[..., 3] - boxes[..., 1] > min_bbox_size))
+        lvl_scores.append(jnp.where(ok, top_scores, NEG_INF))
+        lvl_boxes.append(boxes)
+
+    boxes = jnp.concatenate(lvl_boxes, axis=1)
+    scores = jnp.concatenate(lvl_scores, axis=1)
+
+    def one(b, s):
+        keep_idx, keep_scores = greedy_nms(b, s, nms_thr, max_num)
+        valid = keep_scores > NEG_INF / 2
+        safe = jnp.clip(keep_idx, 0, b.shape[0] - 1)
+        return (jnp.where(valid[:, None], b[safe], 0),
+                jnp.where(valid, keep_scores, 0), valid)
+
+    return jax.vmap(one)(boxes, scores)
+
+
+def map_rois_to_levels(rois_wh, num_levels, finest_scale=56):
+    """FPN level per RoI by sqrt-area (single_level.py map_roi_levels)."""
+    scale = jnp.sqrt(jnp.clip(rois_wh[..., 0] * rois_wh[..., 1], 1e-6))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def extract_roi_feats(feats, strides, proposals, valid, out_size=7,
+                      sample_num=2, finest_scale=56):
+    """Multi-level RoIAlign: each RoI samples its scale-matched level.
+
+    feats: list of (B, H_l, W_l, C); proposals: (B, R, 4) image coords.
+    Returns (B, R, out, out, C).
+    """
+    B, R = proposals.shape[:2]
+    C = feats[0].shape[-1]
+    wh = jnp.stack([proposals[..., 2] - proposals[..., 0],
+                    proposals[..., 3] - proposals[..., 1]], axis=-1)
+    lvl = map_rois_to_levels(wh, len(feats), finest_scale)   # (B, R)
+
+    batch_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, R))
+    rois = jnp.concatenate(
+        [batch_idx[..., None].astype(proposals.dtype), proposals],
+        axis=-1).reshape(B * R, 5)
+
+    out = jnp.zeros((B * R, out_size, out_size, C), feats[0].dtype)
+    for li, (feat, stride) in enumerate(zip(feats, strides)):
+        f = roi_align(feat, rois, out_size=out_size,
+                      spatial_scale=1.0 / stride, sample_num=sample_num)
+        mask = (lvl.reshape(-1) == li) & valid.reshape(-1)
+        out = jnp.where(mask[:, None, None, None], f, out)
+    return out.reshape(B, R, out_size, out_size, C)
+
+
+class ConvFCBBoxHead(nn.Module):
+    """Shared-2FC RoI box head: softmax cls (C+1) + per-class deltas."""
+    num_classes: int = 13           # foreground classes
+    in_channels: int = 256
+    fc_channels: int = 1024
+    roi_size: int = 7
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """roi_feats: (..., roi, roi, C) -> (cls_logits (..., C+1),
+        deltas (..., 4*C or 4))."""
+        lead = roi_feats.shape[:-3]
+        x = roi_feats.reshape(*lead, -1)
+        x = nn.relu(nn.Dense(self.fc_channels,
+                             kernel_init=nn.initializers.xavier_uniform(),
+                             dtype=self.dtype, name='shared_fc_0')(x))
+        x = nn.relu(nn.Dense(self.fc_channels,
+                             kernel_init=nn.initializers.xavier_uniform(),
+                             dtype=self.dtype, name='shared_fc_1')(x))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=normal_init(0.01),
+                       dtype=self.dtype, name='fc_cls')(x)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, kernel_init=normal_init(0.001),
+                       dtype=self.dtype, name='fc_reg')(x)
+        return cls, reg
+
+
+class FasterRCNN(nn.Module):
+    """backbone -> FPN -> RPN + RoI box head (joint forward for training).
+
+    __call__ returns (rpn_outs, proposals, roi_cls, roi_reg, proposal_valid);
+    proposal generation runs inside the forward so the whole step jits.
+    """
+    cfg: Any                         # KGDetConfig
+    num_proposals_train: int = 512
+    num_proposals_test: int = 1000
+
+    @nn.compact
+    def __call__(self, images, img_hw=None, train: bool = True):
+        if img_hw is None:
+            img_hw = jnp.tile(
+                jnp.asarray([[images.shape[1], images.shape[2]]],
+                            jnp.float32), (images.shape[0], 1))
+        from kgdet_tpu.config import BACKBONES, NECKS
+        from kgdet_tpu.models.fpn import FPN
+        from kgdet_tpu.models.resnet import ResNet
+        from kgdet_tpu.ops.anchors import grid_anchors
+
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
+            else jnp.float32
+        backbone = ResNet(depth=cfg.backbone.depth, dtype=dtype,
+                          name='backbone')
+        neck = FPN(in_channels=cfg.neck.in_channels,
+                   out_channels=cfg.neck.out_channels,
+                   start_level=cfg.neck.start_level,
+                   num_outs=cfg.neck.num_outs, add_extra_convs=False,
+                   select_out=None, norm=cfg.neck.norm,
+                   gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
+        rpn = RPNHead(in_channels=cfg.neck.out_channels,
+                      feat_channels=cfg.neck.out_channels,
+                      num_anchors=len(cfg.head.anchor_ratios), dtype=dtype,
+                      name='rpn_head')
+        bbox_head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
+                                   in_channels=cfg.neck.out_channels,
+                                   dtype=dtype, name='bbox_head')
+
+        feats = neck(backbone(images))
+        rpn_outs = rpn(feats)
+
+        strides = cfg.head.point_strides
+        anchors = [grid_anchors(
+            base_anchors(s, [8.0], cfg.head.anchor_ratios),
+            f.shape[1], f.shape[2], s)
+            for f, s in zip(feats, strides)]
+        n_prop = (self.num_proposals_train if train
+                  else self.num_proposals_test)
+        proposals, prop_scores, prop_valid = rpn_proposals(
+            rpn_outs, anchors, img_hw, max_num=n_prop)
+        proposals = jax.lax.stop_gradient(proposals)
+
+        roi_feats = extract_roi_feats(
+            [f.astype(dtype) for f in feats], strides, proposals,
+            prop_valid)
+        roi_cls, roi_reg = bbox_head(roi_feats)
+        return dict(rpn_outs=rpn_outs, anchors=anchors, proposals=proposals,
+                    proposal_scores=prop_scores, proposal_valid=prop_valid,
+                    roi_cls=roi_cls, roi_reg=roi_reg)

@@ -184,10 +184,37 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
 
 
 def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
-    """Build the jittable (state, batch) -> (state, logs) train step."""
+    """Build the jittable (state, batch) -> (state, logs) train step.
+
+    For the two-stage family the batch may carry a scalar 'seed' feeding the
+    proposal/RoI random samplers (defaults to 0 when absent).
+    """
     grids = build_level_geometry(cfg, canvas_hw)
 
     def loss_fn(params, batch_stats, batch):
+        if cfg.detector_type == 'faster_rcnn':
+            from kgdet_tpu.core.two_stage_loss import faster_rcnn_loss
+            from kgdet_tpu.ops.anchors import anchor_valid_flags
+
+            fwd = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['image'], batch['valid_hw'].astype(jnp.float32),
+                train=True)
+            H, W = canvas_hw
+            A = len(cfg.head.anchor_ratios)
+            valids = []
+            for stride in cfg.head.point_strides:
+                fh, fw = H // stride, W // stride
+                vh = jnp.ceil(
+                    batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
+                vw = jnp.ceil(
+                    batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
+                valids.append(jax.vmap(
+                    lambda a, b: anchor_valid_flags(fh, fw, A, a, b))(
+                        vh, vw))
+            rng = jax.random.PRNGKey(batch.get('seed', 0))
+            return faster_rcnn_loss(fwd, batch, rng, cfg, valids)
+
         outs = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['image'])
         valids = batch_valid_flags(cfg, canvas_hw, batch['valid_hw'])
@@ -220,8 +247,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = 'dp'):
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = 'dp'):
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Shard batch-major arrays over dp; replicate scalars/oddly-sized."""
+    sharded = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    n = mesh.devices.size
+
+    def put(x):
+        import numpy as _np
+        x = _np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, replicated)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

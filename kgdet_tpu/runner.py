@@ -172,8 +172,12 @@ class Runner:
         host->device transfer with the previous step's compute)."""
         from collections import deque
         queue = deque()
+        seed = self.cfg.seed * 100003 + self.step
         with self.mesh:
             for batch in iterator:
+                # per-step sampler seed (two-stage random subsampling)
+                batch = dict(batch, seed=np.int32(seed % (2 ** 31)))
+                seed += 1
                 queue.append(shard_batch(self.mesh, batch))
                 if len(queue) > depth:
                     yield queue.popleft()
