@@ -21,9 +21,11 @@ from kgdet_tpu.parallel.train import build_level_geometry
 
 
 def build_model(cfg: KGDetConfig):
-    if cfg.detector_type == 'faster_rcnn':
+    if cfg.detector_type in ('faster_rcnn', 'mask_rcnn'):
         from kgdet_tpu.models.two_stage import FasterRCNN
-        return FasterRCNN(cfg)
+        return FasterRCNN(cfg, with_mask=cfg.detector_type == 'mask_rcnn',
+                          num_proposals_train=cfg.num_proposals_train,
+                          num_proposals_test=cfg.num_proposals_test)
     return KGDetDetector(cfg)
 
 

@@ -150,6 +150,10 @@ class DataConfig:
     # propagate each semantic keypoint group's visible value to the whole
     # group (reference group_mode; off in all shipped recipes)
     group_mode: bool = False
+    # rasterize GT polygons to (max_gts, H/mask_stride, W/mask_stride)
+    # mask targets (Mask R-CNN family)
+    with_mask: bool = False
+    mask_stride: int = 4
     max_gts: int = 32
     batch_size: int = 8          # global batch
     # two aspect-ratio buckets: landscape / portrait padded canvases
@@ -169,7 +173,11 @@ class KGDetConfig:
     train_data: DataConfig = field(default_factory=DataConfig)
     val_data: DataConfig = field(default_factory=DataConfig)
     compute_dtype: str = 'float32'   # 'float32' | 'bfloat16'
-    detector_type: str = 'single_stage'   # 'single_stage' | 'faster_rcnn'
+    # 'single_stage' | 'faster_rcnn' | 'mask_rcnn'
+    detector_type: str = 'single_stage'
+    # two-stage proposal budget (fixed shapes)
+    num_proposals_train: int = 512
+    num_proposals_test: int = 1000
     work_dir: str = './work_dirs/kgdet'
     seed: int = 0
 

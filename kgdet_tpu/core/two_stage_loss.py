@@ -109,10 +109,10 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
         deltas = bbox2delta(props, gts[a.assigned_gt],
                             stds=RCNN_TARGET_STDS)
         reg_w = pos_sel.astype(jnp.float32)
-        return lab.astype(jnp.int32), cls_w, deltas, reg_w
+        return lab.astype(jnp.int32), cls_w, deltas, reg_w, a.assigned_gt
 
     keys = jax.random.split(rng, B)
-    labels, cls_w, deltas, reg_w = jax.vmap(single)(
+    labels, cls_w, deltas, reg_w, assigned_gt = jax.vmap(single)(
         keys, proposals, prop_valid, batch['gt_bboxes'],
         batch['gt_labels'], batch['gt_mask'])
 
@@ -127,20 +127,32 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
         roi_reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
     l_reg = smooth_l1_loss(reg_sel, deltas, reg_w[..., None],
                            beta=1.0, avg_factor=avg)
-    return l_cls, l_reg
+    aux = dict(labels=labels, pos_weights=reg_w, assigned_gt=assigned_gt)
+    return l_cls, l_reg, aux
 
 
 def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
-    """Total two-stage loss + logs."""
+    """Total two-stage loss + logs (mask term when the model emits masks)."""
     k1, k2 = jax.random.split(rng)
     l_rpn_cls, l_rpn_reg = rpn_loss(
         fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1)
-    l_cls, l_reg = rcnn_targets_and_loss(
+    l_cls, l_reg, aux = rcnn_targets_and_loss(
         fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
         fwd['roi_reg'], batch, k2, cfg.head.num_classes)
     total = l_rpn_cls + l_rpn_reg + l_cls + l_reg
-    return total, {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg,
-                   'loss_cls': l_cls, 'loss_bbox': l_reg}
+    logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg,
+            'loss_cls': l_cls, 'loss_bbox': l_reg}
+    if 'mask_logits' in fwd and 'gt_masks' in batch:
+        from kgdet_tpu.models.mask_head import mask_loss, mask_targets
+        targets = mask_targets(
+            batch['gt_masks'].astype(jnp.float32), aux['assigned_gt'],
+            fwd['proposals'], cfg.train_data.mask_stride,
+            out_size=fwd['mask_logits'].shape[2])
+        l_mask = mask_loss(fwd['mask_logits'], targets, aux['labels'],
+                           aux['pos_weights'])
+        total = total + l_mask
+        logs['loss_mask'] = l_mask
+    return total, logs
 
 
 def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
@@ -151,16 +163,19 @@ def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
     B, R = proposals.shape[:2]
     scores = jax.nn.softmax(fwd['roi_cls'].astype(jnp.float32), axis=-1)
     fg_scores = jnp.where(valid[..., None], scores[..., 1:], 0.0)  # (B,R,C)
-    reg = fwd['roi_reg'].astype(jnp.float32).reshape(B, R, -1, 4)
 
     # decode every class's box; NMS consumes per-class scores with shared
     # boxes, so pick each proposal's best-class box (mmdet applies NMS on
     # per-class boxes; with shared-box NMS the top-class box is the standard
     # fixed-shape simplification)
-    best = jnp.argmax(fg_scores, axis=-1)
-    reg_best = jnp.take_along_axis(
-        reg, best[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
-    boxes = delta2bbox(proposals, reg_best, stds=RCNN_TARGET_STDS)
+    if 'refined_boxes' in fwd:
+        boxes = fwd['refined_boxes']
+    else:
+        reg = fwd['roi_reg'].astype(jnp.float32).reshape(B, R, -1, 4)
+        best = jnp.argmax(fg_scores, axis=-1)
+        reg_best = jnp.take_along_axis(
+            reg, best[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+        boxes = delta2bbox(proposals, reg_best, stds=RCNN_TARGET_STDS)
     w = img_hw[:, 1][:, None]
     h = img_hw[:, 0][:, None]
     boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
@@ -168,7 +183,9 @@ def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
                        jnp.clip(boxes[..., 2], 0, w),
                        jnp.clip(boxes[..., 3], 0, h)],
                       axis=-1) / scale_factor[:, None, None]
-    dummy_kpts = jnp.zeros((B, R, 3), boxes.dtype)
+    # carry each proposal's index through NMS (recovers mask logits per det)
+    src = jnp.broadcast_to(
+        jnp.arange(R, dtype=boxes.dtype)[None, :, None], (B, R, 1))
 
     def nms_one(b, s, k):
         return multiclass_nms_kp(
@@ -176,7 +193,19 @@ def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
             max_per_class=test_cfg.max_per_class,
             max_per_img=test_cfg.max_per_img)
 
-    det_bboxes, det_labels, det_kpts, dvalid = jax.vmap(nms_one)(
-        boxes, fg_scores, dummy_kpts)
-    return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
-            'det_kpts': det_kpts, 'valid': dvalid}
+    det_bboxes, det_labels, det_src, dvalid = jax.vmap(nms_one)(
+        boxes, fg_scores, src)
+    M = det_bboxes.shape[1]
+    out = {'det_bboxes': det_bboxes, 'det_labels': det_labels,
+           'det_kpts': jnp.zeros((B, M, 3), det_bboxes.dtype),
+           'valid': dvalid}
+    if 'mask_logits' in fwd:
+        src_idx = jnp.clip(det_src[..., 0].astype(jnp.int32), 0, R - 1)
+        ml = fwd['mask_logits'].astype(jnp.float32)      # (B, R, S, S, C)
+        per_det = jnp.take_along_axis(
+            ml, src_idx[:, :, None, None, None].repeat(
+                ml.shape[2], 2).repeat(ml.shape[3], 3), axis=1)
+        cls_sel = jnp.take_along_axis(
+            per_det, det_labels[:, :, None, None, None], axis=-1)[..., 0]
+        out['det_masks'] = jax.nn.sigmoid(cls_sel)        # (B, M, S, S)
+    return out

@@ -155,7 +155,8 @@ class DeepFashion2Dataset:
         kpts[..., 0] = np.where(vis, kpts[..., 0] * sf, kpts[..., 0])
         kpts[..., 1] = np.where(vis, kpts[..., 1] * sf, kpts[..., 1])
 
-        if self.cfg.flip_ratio > 0 and rng.rand() < self.cfg.flip_ratio:
+        flipped = self.cfg.flip_ratio > 0 and rng.rand() < self.cfg.flip_ratio
+        if flipped:
             img = img[:, ::-1]
             bboxes = flip_bboxes(bboxes, rw)
             kpts = flip_keypoints(kpts, labels, rw)
@@ -176,7 +177,7 @@ class DeepFashion2Dataset:
         out_labels[:n] = labels[:n]
         out_kpts[:n] = kpts[:n]
         out_mask[:n] = True
-        return {
+        sample = {
             'image': img.astype(np.float32),
             'valid_hw': np.array([rh, rw], np.int32),
             'gt_bboxes': out_bboxes,
@@ -184,6 +185,42 @@ class DeepFashion2Dataset:
             'gt_kpts': out_kpts,
             'gt_mask': out_mask,
         }
+        if self.cfg.with_mask:
+            sample['gt_masks'] = self.rasterize_masks(
+                record.img_id, sf, rw if flipped else None, canvas)
+        return sample
+
+    def rasterize_masks(self, img_id, scale_factor, flip_width, canvas):
+        """GT polygons -> (max_gts, canvas_h/s, canvas_w/s) float rasters.
+
+        flip_width: resized image width when the sample was flipped, else
+        None. Uses cv2.fillPoly (parity: pycocotools frPoly semantics at the
+        downsampled mask_stride resolution).
+        """
+        s = self.cfg.mask_stride
+        mh, mw = canvas[0] // s, canvas[1] // s
+        out = np.zeros((self.cfg.max_gts, mh, mw), np.float32)
+        gi = 0
+        for ann in self.coco.anns_for_img(img_id):
+            if ann.get('iscrowd', 0):
+                continue
+            x1, y1, w, h = ann['bbox']
+            if ann.get('area', w * h) <= 0 or w < 1 or h < 1:
+                continue
+            if gi >= self.cfg.max_gts:
+                break
+            segs = ann.get('segmentation') or []
+            canvas_mask = np.zeros((mh, mw), np.uint8)
+            for poly in segs:
+                pts = np.asarray(poly, np.float64).reshape(-1, 2)
+                pts = pts * scale_factor
+                if flip_width is not None:
+                    pts[:, 0] = flip_width - pts[:, 0] - 1
+                cv2.fillPoly(canvas_mask,
+                             [np.round(pts / s).astype(np.int32)], 1)
+            out[gi] = canvas_mask
+            gi += 1
+        return out
 
     # ------------------------------------------------------------- test path
     def prepare_test(self, idx: int) -> Dict:

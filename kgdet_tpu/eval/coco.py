@@ -88,7 +88,17 @@ class CocoIndex:
         anns = copy.deepcopy(results)
         for i, ann in enumerate(anns):
             ann['id'] = i + 1
-            if 'bbox' in ann:
+            if 'segmentation' in ann and 'bbox' not in ann:
+                from kgdet_tpu.eval.cocoeval import ann_to_rle
+                size = (ann['segmentation'].get('size')
+                        if isinstance(ann['segmentation'], dict) else None)
+                if size is None:
+                    img = self.imgs[ann['image_id']]
+                    size = (img['height'], img['width'])
+                rle = ann_to_rle(ann, size[0], size[1])
+                ann.setdefault('area', float(rle.area()))
+                ann.setdefault('bbox', rle.to_bbox().tolist())
+            elif 'bbox' in ann:
                 x, y, w, h = ann['bbox']
                 ann.setdefault('area', w * h)
                 ann.setdefault('segmentation', [[x, y, x, y + h, x + w, y + h, x + w, y]])

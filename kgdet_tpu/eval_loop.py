@@ -28,7 +28,7 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
     """One jitted predict per canvas bucket (static shapes)."""
     fns = {}
     for canvas in canvases:
-        if cfg.detector_type == 'faster_rcnn':
+        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn'):
             from kgdet_tpu.core.two_stage_loss import decode_rcnn_detections
 
             def predict(variables, batch):
@@ -99,13 +99,17 @@ def run_inference(model, variables, cfg: KGDetConfig, loader: DataLoader,
         det_bboxes = np.asarray(dets['det_bboxes'])
         det_labels = np.asarray(dets['det_labels'])
         det_kpts = np.asarray(dets['det_kpts'])
+        det_masks = (np.asarray(dets['det_masks'])
+                     if 'det_masks' in dets else None)
         valid = np.asarray(dets['valid'])
         for i, img_id in enumerate(batch['img_id'].tolist()):
             if img_id in results:
                 continue
             v = valid[i]
-            results[img_id] = (det_bboxes[i][v], det_labels[i][v],
-                               det_kpts[i][v])
+            entry = [det_bboxes[i][v], det_labels[i][v], det_kpts[i][v]]
+            if det_masks is not None:
+                entry.append(det_masks[i][v])
+            results[img_id] = tuple(entry)
             n_done += 1
         if verbose:
             dt = time.time() - t0
@@ -150,15 +154,19 @@ def evaluate_results(results: Dict[int, tuple], dataset,
                      iou_types=('bbox', 'keypoints'), verbose: bool = True):
     """results -> COCO JSON -> AP stats dict (parity: coco_utils.coco_eval)."""
     img_ids = sorted(results.keys())
-    per_img = [results[i] for i in img_ids]
+    per_img = [results[i][:3] for i in img_ids]
     if out_prefix is None:
         out_prefix = '/tmp/kgdet_eval'
     os.makedirs(os.path.dirname(os.path.abspath(out_prefix)), exist_ok=True)
     files = dump_results(per_img, img_ids, dataset.cat_ids, out_prefix)
 
+    if 'segm' in iou_types:
+        files['segm'] = f'{out_prefix}.segm.json'
+        _write_segm_json(results, img_ids, dataset, files['segm'])
+
     stats = {}
     for iou_type in iou_types:
-        res_file = files['bbox' if iou_type == 'bbox' else 'keypoints']
+        res_file = files[iou_type if iou_type in files else 'keypoints']
         dt = dataset.coco.load_results(res_file)
         ev = CocoEvaluator(dataset.coco, dt, iou_type)
         ev.params.img_ids = img_ids
@@ -167,6 +175,39 @@ def evaluate_results(results: Dict[int, tuple], dataset,
         s = ev.summarize(verbose=verbose)
         stats[iou_type] = s
     return stats, files
+
+
+def _write_segm_json(results, img_ids, dataset, path):
+    """Paste per-detection mask probs to image size and RLE-encode.
+
+    Parity: fcn_mask_head.get_seg_masks + segm2json (mask score = box
+    score). Requires 4-tuple results carrying (N, S, S) mask probs.
+    """
+    import json
+
+    from kgdet_tpu.models.mask_head import paste_masks
+    from kgdet_tpu.native import RLE
+
+    out = []
+    for img_id in img_ids:
+        entry = results[img_id]
+        if len(entry) < 4:
+            continue
+        dets, labels, _, masks = entry
+        info = dataset.coco.imgs[img_id]
+        h, w = info['height'], info['width']
+        full = paste_masks(dets, masks, h, w)
+        for i in range(len(dets)):
+            rle = RLE.encode(full[i])
+            out.append({
+                'image_id': int(img_id),
+                'category_id': int(dataset.cat_ids[int(labels[i])]),
+                'score': round(float(dets[i][4]), 4),
+                'segmentation': {'size': [h, w],
+                                 'counts': rle.to_string().decode()},
+            })
+    with open(path, 'w') as f:
+        json.dump(out, f)
 
 
 def run_eval(model, variables, cfg: KGDetConfig, dataset,

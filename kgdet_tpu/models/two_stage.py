@@ -160,8 +160,12 @@ class FasterRCNN(nn.Module):
 
     __call__ returns (rpn_outs, proposals, roi_cls, roi_reg, proposal_valid);
     proposal generation runs inside the forward so the whole step jits.
+    With ``with_mask`` (Mask R-CNN), a 14x14 RoI mask branch runs on the
+    sampled proposals at train time and on the refined best-class boxes at
+    test time (parity: fcn_mask_head applied to det bboxes).
     """
     cfg: Any                         # KGDetConfig
+    with_mask: bool = False
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
 
@@ -209,10 +213,38 @@ class FasterRCNN(nn.Module):
             rpn_outs, anchors, img_hw, max_num=n_prop)
         proposals = jax.lax.stop_gradient(proposals)
 
-        roi_feats = extract_roi_feats(
-            [f.astype(dtype) for f in feats], strides, proposals,
-            prop_valid)
+        feats_d = [f.astype(dtype) for f in feats]
+        roi_feats = extract_roi_feats(feats_d, strides, proposals,
+                                      prop_valid)
         roi_cls, roi_reg = bbox_head(roi_feats)
-        return dict(rpn_outs=rpn_outs, anchors=anchors, proposals=proposals,
-                    proposal_scores=prop_scores, proposal_valid=prop_valid,
-                    roi_cls=roi_cls, roi_reg=roi_reg)
+        out = dict(rpn_outs=rpn_outs, anchors=anchors, proposals=proposals,
+                   proposal_scores=prop_scores, proposal_valid=prop_valid,
+                   roi_cls=roi_cls, roi_reg=roi_reg)
+
+        if self.with_mask:
+            from kgdet_tpu.core.two_stage_loss import RCNN_TARGET_STDS
+            from kgdet_tpu.models.mask_head import FCNMaskHead
+            mask_head = FCNMaskHead(num_classes=cfg.head.num_classes,
+                                    in_channels=cfg.neck.out_channels,
+                                    dtype=dtype, name='mask_head')
+            if train:
+                mask_boxes = proposals
+            else:
+                # refined best-class boxes (what NMS will consume)
+                from kgdet_tpu.core.bbox_transforms import delta2bbox
+                B, R = proposals.shape[:2]
+                fg = jax.nn.softmax(
+                    roi_cls.astype(jnp.float32), axis=-1)[..., 1:]
+                best = jnp.argmax(fg, axis=-1)
+                reg = roi_reg.astype(jnp.float32).reshape(B, R, -1, 4)
+                reg_best = jnp.take_along_axis(
+                    reg, best[..., None, None].repeat(4, -1),
+                    axis=2)[:, :, 0]
+                mask_boxes = delta2bbox(proposals, reg_best,
+                                        stds=RCNN_TARGET_STDS)
+                out['refined_boxes'] = mask_boxes
+            mask_feats = extract_roi_feats(
+                feats_d, strides, jax.lax.stop_gradient(mask_boxes),
+                prop_valid, out_size=14)
+            out['mask_logits'] = mask_head(mask_feats)  # (B, R, 28, 28, C)
+        return out

@@ -192,7 +192,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
     grids = build_level_geometry(cfg, canvas_hw)
 
     def loss_fn(params, batch_stats, batch):
-        if cfg.detector_type == 'faster_rcnn':
+        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn'):
             from kgdet_tpu.core.two_stage_loss import faster_rcnn_loss
             from kgdet_tpu.ops.anchors import anchor_valid_flags
 

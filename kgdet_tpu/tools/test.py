@@ -25,7 +25,7 @@ def parse_args():
                    help='PyTorch .pth checkpoint to convert and evaluate')
     p.add_argument('--json-out', default=None)
     p.add_argument('--eval', nargs='*', default=['bbox', 'keypoints'],
-                   choices=['bbox', 'keypoints'])
+                   choices=['bbox', 'keypoints', 'segm'])
     p.add_argument('--batch-size', type=int, default=None)
     p.add_argument('--distributed', action='store_true')
     return p.parse_args()

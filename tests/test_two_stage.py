@@ -26,6 +26,7 @@ def frcnn_cfg():
         head=HeadConfig(num_classes=13, point_strides=(8, 16, 32),
                         anchor_ratios=(0.5, 1.0, 2.0)),
         test=TestConfig(nms_pre=50, max_per_class=10, max_per_img=20),
+        num_proposals_train=64, num_proposals_test=64,
     )
 
 
@@ -93,3 +94,94 @@ def test_faster_rcnn_train_and_predict():
     })
     assert dets['det_bboxes'].shape == (2, 20, 5)
     assert np.isfinite(np.asarray(dets['det_bboxes'])).all()
+
+
+def test_mask_rcnn_train_and_predict():
+    import dataclasses
+    from kgdet_tpu.config import DataConfig
+    from kgdet_tpu.models.mask_head import mask_targets, paste_masks
+    cfg = frcnn_cfg().replace(
+        detector_type='mask_rcnn',
+        train_data=DataConfig(with_mask=True, mask_stride=4, max_gts=4))
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    assert 'mask_head' in variables['params']
+
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    rng = np.random.RandomState(0)
+    batch['gt_masks'] = jnp.asarray(
+        (rng.rand(2, 4, CANVAS[0] // 4, CANVAS[1] // 4) > 0.5)
+        .astype(np.float32))
+    batch['seed'] = jnp.int32(3)
+    _, _, logs = step(params, stats, opt_state, batch)
+    assert np.isfinite(float(logs['loss_mask']))
+
+    predict = make_predict_fns(model, cfg, [CANVAS])[tuple(CANVAS)]
+    dets = predict(variables, {
+        'image': jnp.zeros((2, CANVAS[0], CANVAS[1], 3)),
+        'img_hw': jnp.asarray([[60., 90.], [64., 96.]]),
+        'scale_factor': jnp.asarray([1.0, 1.0]),
+    })
+    assert dets['det_masks'].shape[2:] == (28, 28)
+    probs = np.asarray(dets['det_masks'])
+    assert ((probs >= 0) & (probs <= 1)).all()
+
+    # host paste
+    masks = paste_masks(np.array([[5., 5., 30., 25., 0.9]]),
+                        np.ones((1, 28, 28), np.float32) * 0.9, 64, 96)
+    assert masks[0].shape == (64, 96)
+    assert masks[0][10, 10] == 1 and masks[0][0, 0] == 0
+
+
+def test_mask_targets_crop():
+    from kgdet_tpu.models.mask_head import mask_targets
+    # a GT mask that is 1 exactly inside its box -> crop is ~all ones
+    gm = np.zeros((1, 1, 16, 24), np.float32)
+    gm[0, 0, 2:8, 3:12] = 1.0     # at stride 4: image box (12, 8)-(48, 32)
+    props = jnp.asarray([[[12., 8., 47., 31.]]])
+    t = mask_targets(jnp.asarray(gm), jnp.zeros((1, 1), jnp.int32), props,
+                     mask_stride=4, out_size=8)
+    assert float(t.mean()) > 0.85
+
+
+def test_segm_results_pipeline(tmp_path):
+    """4-tuple results (with mask probs) -> segm json -> segm eval."""
+    from kgdet_tpu.config import DataConfig
+    from kgdet_tpu.data.dataset import DeepFashion2Dataset
+    from kgdet_tpu.eval_loop import evaluate_results
+    from tests.test_data import make_synth_coco
+    tmpdir = str(tmp_path / 'coco')
+    import os
+    os.makedirs(tmpdir)
+    ann = make_synth_coco(tmpdir, n_images=3, landscape_only=True)
+    # give GTs rectangular polygon segmentations derived from their boxes
+    import json
+    data = json.load(open(ann))
+    for a in data['annotations']:
+        x, y, w, h = a['bbox']
+        a['segmentation'] = [[x, y, x + w, y, x + w, y + h, x, y + h]]
+    json.dump(data, open(ann, 'w'))
+    ds = DeepFashion2Dataset(DataConfig(ann_file=ann, img_prefix=tmpdir),
+                             train=False)
+    # echo GT boxes as detections with all-ones masks (fill the box)
+    results = {}
+    for img_id in ds.coco.img_ids:
+        anns = ds.coco.anns_for_img(img_id)
+        dets = np.array([[a['bbox'][0], a['bbox'][1],
+                          a['bbox'][0] + a['bbox'][2],
+                          a['bbox'][1] + a['bbox'][3], 0.95]
+                         for a in anns], np.float32)
+        labels = np.array([ds.cat2label[a['category_id']] - 1
+                           for a in anns])
+        kpts = np.zeros((len(anns), 3), np.float32)
+        masks = np.ones((len(anns), 28, 28), np.float32)
+        results[img_id] = (dets, labels, kpts, masks)
+    stats, files = evaluate_results(
+        results, ds, out_prefix=str(tmp_path / 'res'),
+        iou_types=('bbox', 'segm'), verbose=False)
+    assert stats['segm']['AP'] > 0.6, stats['segm']
+    assert os.path.exists(files['segm'])
