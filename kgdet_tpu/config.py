@@ -53,6 +53,10 @@ class BackboneConfig:
     num_stages: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = 1
+    # optional per-stage extras (0-based stage indices)
+    dcn_stages: Tuple[int, ...] = ()
+    gcb_stages: Tuple[int, ...] = ()
+    nonlocal_stages: Tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)

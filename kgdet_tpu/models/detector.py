@@ -38,7 +38,10 @@ class KGDetDetector(nn.Module):
         backbone_cls = BACKBONES.get(cfg.backbone.type)
         backbone = backbone_cls(
             depth=cfg.backbone.depth, num_stages=cfg.backbone.num_stages,
-            out_indices=cfg.backbone.out_indices, dtype=dtype,
+            out_indices=cfg.backbone.out_indices,
+            dcn_stages=cfg.backbone.dcn_stages,
+            gcb_stages=cfg.backbone.gcb_stages,
+            nonlocal_stages=cfg.backbone.nonlocal_stages, dtype=dtype,
             name='backbone')
         neck_cls = NECKS.get(cfg.neck.type)
         neck = neck_cls(
@@ -90,6 +93,11 @@ class KGDetDetector(nn.Module):
         elif head_type == 'SerialKpHead':
             head_cls = HEADS.get('SerialKpHead')
             head_kwargs.update(parallel=False, num_reppts=cfg.head.num_reppts)
+        elif head_type == 'RepPointsHead':
+            # plain upstream RepPoints: no keypoint branch
+            head_cls = HEADS.get('SerialKpHead')
+            head_kwargs.update(parallel=True, with_keypoints=False,
+                               num_reppts=cfg.head.num_reppts)
         elif head_type == 'KGDetHead1Rep':
             # single-column cascade ablation (reference Kp1RepBlock)
             head_cls = HEADS.get('KGDetHead')

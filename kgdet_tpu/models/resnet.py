@@ -36,6 +36,34 @@ def _conv(features, k, s=1, name=None):
                    use_bias=False, kernel_init=he_normal_init(), name=name)
 
 
+class DeformConv3x3(nn.Module):
+    """3x3 deformable conv (DCN-in-backbone option, stride 1 only).
+
+    Offsets predicted by a zero-init 3x3 conv (18 channels, y-first pairs),
+    added to the static base grid and fed to the shared deformable sampler
+    (parity: reference resnet.py DCN stage option, dcn dict in configs).
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        from kgdet_tpu.ops.deform import deform_conv
+
+        B, H, W, C = x.shape
+        offs = nn.Conv(18, (3, 3), padding='SAME',
+                       kernel_init=nn.initializers.zeros,
+                       dtype=self.dtype, name='conv_offset')(x)
+        base = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], indexing='ij'),
+                        axis=-1).reshape(9, 2).astype(np.float32)
+        rel = offs.reshape(B, H, W, 9, 2) + jnp.asarray(base)
+        w = self.param('weight', he_normal_init(), (9, C, self.features),
+                       jnp.float32)
+        return deform_conv(x, rel, w.astype(self.dtype))
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -58,11 +86,19 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """pytorch-style bottleneck: the stride sits on the 3x3 conv."""
+    """pytorch-style bottleneck: the stride sits on the 3x3 conv.
+
+    Optional per-stage extras mirroring the reference ResNet's stage options
+    (resnet.py dcn/gcb/gen_attention): use_dcn swaps the 3x3 for a
+    deformable conv; plugin appends a GCNet context block or a NonLocal
+    block after the residual add.
+    """
     planes: int
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    use_dcn: bool = False
+    plugin: Any = None              # None | 'gcb' | 'nonlocal'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +107,11 @@ class Bottleneck(nn.Module):
         out = _conv(self.planes, 1, 1, 'conv1')(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, self.stride, 'conv2')(out)
+        if self.use_dcn and self.stride == 1:
+            out = DeformConv3x3(self.planes, dtype=self.dtype,
+                                name='conv2')(out)
+        else:
+            out = _conv(self.planes, 3, self.stride, 'conv2')(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
         out = _conv(self.planes * self.expansion, 1, 1, 'conv3')(out)
@@ -81,13 +121,24 @@ class Bottleneck(nn.Module):
                              'downsample_conv')(x)
             identity = FrozenBatchNorm(
                 dtype=self.dtype, name='downsample_bn')(identity)
-        return nn.relu(out + identity)
+        out = nn.relu(out + identity)
+        if self.plugin == 'gcb':
+            from kgdet_tpu.models.plugins import ContextBlock
+            out = ContextBlock(dtype=self.dtype, name='context_block')(out)
+        elif self.plugin == 'nonlocal':
+            from kgdet_tpu.models.plugins import NonLocal2D
+            out = NonLocal2D(dtype=self.dtype, name='nonlocal_block')(out)
+        return out
 
 
 class ResNet(nn.Module):
     depth: int = 50
     num_stages: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    # 0-based stage indices receiving the optional extras
+    dcn_stages: Tuple[int, ...] = ()
+    gcb_stages: Tuple[int, ...] = ()
+    nonlocal_stages: Tuple[int, ...] = ()
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,12 +161,18 @@ class ResNet(nn.Module):
         for stage in range(self.num_stages):
             stride = 1 if stage == 0 else 2
             num_blocks = stage_blocks[stage]
+            plugin = ('gcb' if stage in self.gcb_stages else
+                      'nonlocal' if stage in self.nonlocal_stages else None)
+            use_dcn = stage in self.dcn_stages
             for i in range(num_blocks):
                 s = stride if i == 0 else 1
                 need_ds = (i == 0) and (s != 1 or in_ch != planes * expansion)
+                kwargs = {}
+                if block_cls is Bottleneck:
+                    kwargs = dict(use_dcn=use_dcn, plugin=plugin)
                 x = block_cls(planes=planes, stride=s, downsample=need_ds,
                               dtype=self.dtype,
-                              name=f'layer{stage + 1}/{i}')(x)
+                              name=f'layer{stage + 1}/{i}', **kwargs)(x)
                 in_ch = planes * expansion
             if stage in self.out_indices:
                 outs.append(x)

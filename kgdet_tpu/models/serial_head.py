@@ -52,6 +52,9 @@ class SerialKpHead(nn.Module):
     transform_method: str = 'moment'
     moment_mul: float = 0.01
     parallel: bool = False
+    # False = plain upstream RepPoints (no keypoint branch; RepPoints fields
+    # from their own convs, parity: mmdet reppoints_head.py)
+    with_keypoints: bool = True
     norm: Optional[str] = 'gn'
     gn_groups: int = 32
     dtype: Any = jnp.float32
@@ -84,25 +87,27 @@ class SerialKpHead(nn.Module):
             self.point_feat_channels, (3, 3), padding='SAME',
             kernel_init=normal_init(0.01), dtype=self.dtype, name=name)
 
-        keypts_init_conv = conv3('keypts_init_conv')
-        keypts_init_out = dense(kpt_dim, 'keypts_init_out')
-        if self.parallel:
+        with_kp = self.with_keypoints
+        own_rep_branch = self.parallel or not with_kp
+        if with_kp:
+            keypts_init_conv = conv3('keypts_init_conv')
+            keypts_init_out = dense(kpt_dim, 'keypts_init_out')
+            keypts_refine_out = dense(kpt_dim, 'keypts_refine_out')
+        if own_rep_branch:
             reppts_init_conv = conv3('reppts_init_conv')
-            reppts_init_out = dense(rep_dim, 'reppts_init_out')
-        else:
-            reppts_init_out = dense(rep_dim, 'reppts_init_out')
+        reppts_init_out = dense(rep_dim, 'reppts_init_out')
         cls_refine_out = dense(self.num_classes, 'cls_refine_out',
                                bias_init_with_prob(0.01))
-        keypts_refine_out = dense(kpt_dim, 'keypts_refine_out')
         reppts_refine_out = dense(rep_dim, 'reppts_refine_out')
 
         C = self.feat_channels
         F = self.point_feat_channels
         w_cls = self.param('cls_refine_dfmconv', normal_init(0.01),
                            (self.num_reppts, C, F), jnp.float32)
-        w_kpt = self.param('keypts_refine_dfmconv', normal_init(0.01),
-                           (self.num_reppts, C, F), jnp.float32)
-        if self.parallel:
+        if with_kp:
+            w_kpt = self.param('keypts_refine_dfmconv', normal_init(0.01),
+                               (self.num_reppts, C, F), jnp.float32)
+        if own_rep_branch:
             w_rep = self.param('reppts_refine_dfmconv', normal_init(0.01),
                                (self.num_reppts, C, F), jnp.float32)
 
@@ -124,9 +129,12 @@ class SerialKpHead(nn.Module):
             flat = lambda t: t.reshape(B, H * W, -1)
             unflat = lambda t: t.reshape(B, H, W, -1)
 
-            kpt_init = keypts_init_out(
-                nn.relu(keypts_init_conv(pts_feat)))
-            if self.parallel:
+            if with_kp:
+                kpt_init = keypts_init_out(
+                    nn.relu(keypts_init_conv(pts_feat)))
+            else:
+                kpt_init = jnp.zeros((B, H, W, kpt_dim), self.dtype)
+            if own_rep_branch:
                 rep_init = reppts_init_out(
                     nn.relu(reppts_init_conv(pts_feat)))
             else:
@@ -138,12 +146,15 @@ class SerialKpHead(nn.Module):
             samples = deform_sample(cat, offs)       # (B, P, 9, 2C)
             cls_col = nn.relu(deform_conv_from_samples(
                 samples[..., :C], w_cls.astype(self.dtype)))
-            kpt_col = nn.relu(deform_conv_from_samples(
-                samples[..., C:], w_kpt.astype(self.dtype)))
 
             cls_out = unflat(cls_refine_out(cls_col))
-            kpt_ref_raw = unflat(keypts_refine_out(kpt_col))
-            if self.parallel:
+            if with_kp:
+                kpt_col = nn.relu(deform_conv_from_samples(
+                    samples[..., C:], w_kpt.astype(self.dtype)))
+                kpt_ref_raw = unflat(keypts_refine_out(kpt_col))
+            else:
+                kpt_ref_raw = jnp.zeros((B, H, W, kpt_dim), self.dtype)
+            if own_rep_branch:
                 rep_col = nn.relu(deform_conv_from_samples(
                     samples[..., C:], w_rep.astype(self.dtype)))
                 rep_ref_raw = unflat(reppts_refine_out(rep_col))

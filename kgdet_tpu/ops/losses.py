@@ -150,3 +150,13 @@ def ghm_c_loss(logits, labels, weights=None, bins=10, momentum=0.0,
     if avg_factor is None:
         avg_factor = total
     return loss.sum() / avg_factor
+
+
+def mse_loss(pred, target, weights=None, avg_factor=None):
+    """Mean-squared error (parity: mmdet mse_loss.py)."""
+    loss = (pred - target) ** 2
+    if weights is not None:
+        loss = loss * weights
+    if avg_factor is None:
+        return loss.mean()
+    return loss.sum() / avg_factor

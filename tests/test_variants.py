@@ -161,3 +161,43 @@ def test_flip_forward_equivariance():
     kpt_f = np.asarray(out_f[0]['kpt'][:, :, :, ::-1])
     np.testing.assert_allclose(kpt[..., 0::2], kpt_f[..., 0::2], atol=2e-5)
     np.testing.assert_allclose(kpt[..., 1::2], -kpt_f[..., 1::2], atol=2e-5)
+
+
+def test_plain_reppoints_head():
+    """Upstream RepPoints (no keypoint branch): head type 'RepPointsHead'."""
+    import dataclasses
+    cfg = serial_cfg('RepPointsHead')
+    cfg = cfg.replace(head=dataclasses.replace(
+        cfg.head, type='RepPointsHead', num_keypts=1,
+        loss_kpt_weights=(0.0, 0.0)))
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    head_params = variables['params']['head']
+    assert 'keypts_init_conv' not in head_params
+    assert 'reppts_init_conv' in head_params
+
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = synth_batch(K=1)
+    batch = jax.tree.map(jnp.asarray, batch)
+    _, _, logs = step(params, stats, opt_state, batch)
+    assert np.isfinite(float(logs['loss']))
+    assert float(logs['loss_kpt_refine_lvl0']) == 0.0
+
+
+def test_backbone_stage_extras():
+    """DCN / GCB / NonLocal stage options build and run."""
+    from kgdet_tpu.models.resnet import ResNet
+    m = ResNet(depth=50, num_stages=2, out_indices=(0, 1),
+               dcn_stages=(1,), gcb_stages=(0,), nonlocal_stages=(1,))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    p = variables['params']
+    assert 'context_block' in p['layer1/0']
+    assert 'nonlocal_block' in p['layer2/0']
+    assert 'conv_offset' in p['layer2/1']['conv2']   # dcn on stride-1 blocks
+    outs = jax.jit(m.apply)(variables, x)
+    assert outs[0].shape == (1, 8, 8, 256)
+    assert np.isfinite(np.asarray(outs[1])).all()
