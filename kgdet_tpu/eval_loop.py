@@ -40,6 +40,18 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
 
             fns[tuple(canvas)] = jax.jit(predict)
             continue
+        if cfg.head.type == 'FCOSHead':
+            from kgdet_tpu.core.fcos_loss import decode_detections_fcos
+            grids = build_level_geometry(cfg, canvas)
+
+            def predict(variables, batch, grids=grids):
+                outs = model.apply(variables, batch['image'])
+                return decode_detections_fcos(
+                    outs, grids, batch['img_hw'], batch['scale_factor'],
+                    cfg.test, num_classes=cfg.head.num_classes)
+
+            fns[tuple(canvas)] = jax.jit(predict)
+            continue
         if cfg.head.type == 'RetinaHead':
             from kgdet_tpu.core.anchor_loss import decode_detections_anchor
             from kgdet_tpu.models.retina_head import RetinaHead

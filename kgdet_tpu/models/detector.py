@@ -87,6 +87,21 @@ class KGDetDetector(nn.Module):
                     int(i) for i in interleaved_flip_indices())
             head_kwargs.update(flip_forward=True, flip_indices=flip_indices)
         head_type = cfg.head.type
+        if head_type == 'FCOSHead':
+            from kgdet_tpu.models.fcos_head import FCOSHead
+            HEADS._map.setdefault('FCOSHead', FCOSHead)
+            head_cls = FCOSHead
+            head_kwargs = dict(
+                num_classes=cfg.head.num_classes,
+                in_channels=cfg.head.in_channels,
+                feat_channels=cfg.head.feat_channels,
+                stacked_convs=cfg.head.stacked_convs,
+                strides=cfg.head.point_strides, norm=cfg.head.norm,
+                gn_groups=cfg.head.gn_groups, dtype=dtype, name='head')
+            head = head_cls(**head_kwargs)
+            feats = backbone(images)
+            pyramid = neck(feats)
+            return head(pyramid)
         if head_type == 'ParallelKpHead':
             head_cls = HEADS.get('SerialKpHead')
             head_kwargs.update(parallel=True, num_reppts=cfg.head.num_reppts)

@@ -153,6 +153,10 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
         ra = cfg.refine_assigner or cfg.assigner
         return retina_loss(outs, anchors, avalids, batch, cfg.head, ra)
 
+    if cfg.head.type == 'FCOSHead':
+        from kgdet_tpu.core.fcos_loss import fcos_loss
+        return fcos_loss(outs, grids, valids, batch, cfg.head)
+
     init_targets = [
         point_targets(g, v, batch['gt_bboxes'], batch['gt_labels'],
                       batch['gt_kpts'], batch['gt_mask'],
