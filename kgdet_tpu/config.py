@@ -182,6 +182,7 @@ class KGDetConfig:
     # two-stage proposal budget (fixed shapes)
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
+    rcnn_sampler: str = 'random'          # 'random' | 'ohem'
     work_dir: str = './work_dirs/kgdet'
     seed: int = 0
 

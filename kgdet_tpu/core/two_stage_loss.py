@@ -35,13 +35,27 @@ def _random_quota_mask(rng, mask, quota):
     return mask & (pri >= jnp.maximum(thresh, 0.0))
 
 
-def sample_pos_neg(rng, pos_mask, neg_mask, num, pos_fraction):
-    """Random pos/neg subsampling with static quotas (see module docstring)."""
+def sample_pos_neg(rng, pos_mask, neg_mask, num, pos_fraction,
+                   neg_priority=None):
+    """Pos/neg subsampling with static quotas (see module docstring).
+
+    neg_priority: optional (N,) scores — negatives are taken by descending
+    priority instead of uniformly (OHEM, parity: mmdet ohem_sampler.py
+    hard-negative mining by classification loss).
+    """
     num_pos = int(num * pos_fraction)
     num_neg = num - num_pos
     k1, k2 = jax.random.split(rng)
     pos_sel = _random_quota_mask(k1, pos_mask, num_pos)
-    neg_sel = _random_quota_mask(k2, neg_mask, num_neg)
+    if neg_priority is None:
+        neg_sel = _random_quota_mask(k2, neg_mask, num_neg)
+    else:
+        pri = jnp.where(neg_mask, neg_priority, -jnp.inf)
+        if num_neg < neg_mask.shape[-1]:
+            thresh = jax.lax.top_k(pri, num_neg)[0][..., -1:]
+            neg_sel = neg_mask & (pri >= thresh)
+        else:
+            neg_sel = neg_mask
     return pos_sel, neg_sel
 
 
@@ -92,18 +106,28 @@ def rpn_loss(rpn_outs, anchors_per_level, valids_per_level, batch, rng,
 def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
                           rng, num_classes, num_samples=512,
                           pos_fraction=0.25, pos_iou_thr=0.5,
-                          neg_iou_thr=0.5):
-    """RCNN stage: assign proposals, subsample, CE + per-class smooth-L1."""
+                          neg_iou_thr=0.5, sampler='random'):
+    """RCNN stage: assign proposals, subsample, CE + per-class smooth-L1.
+
+    sampler: 'random' | 'ohem' (hard negatives by background CE loss).
+    """
     B, R = proposals.shape[:2]
     roi_cls = roi_cls.astype(jnp.float32)
     roi_reg = roi_reg.astype(jnp.float32).reshape(B, R, -1, 4)
+    if sampler == 'ohem':
+        # negative hardness = loss of predicting background
+        neg_hardness = -jax.nn.log_softmax(
+            jax.lax.stop_gradient(roi_cls), axis=-1)[..., 0]
+    else:
+        neg_hardness = jnp.zeros((B, R))
 
-    def single(key, props, v, gts, labels, mask):
+    def single(key, props, v, gts, labels, mask, hardness):
         a = assign_max_iou(props, v, gts, mask, pos_iou_thr, neg_iou_thr,
                            0.0)
         neg = v & ~a.pos_mask & ~a.ignore_mask
         pos_sel, neg_sel = sample_pos_neg(
-            key, a.pos_mask, neg, num_samples, pos_fraction)
+            key, a.pos_mask, neg, num_samples, pos_fraction,
+            neg_priority=hardness if sampler == 'ohem' else None)
         lab = jnp.where(pos_sel, labels[a.assigned_gt], 0)   # 0 = background
         cls_w = (pos_sel | neg_sel).astype(jnp.float32)
         deltas = bbox2delta(props, gts[a.assigned_gt],
@@ -114,7 +138,7 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
     keys = jax.random.split(rng, B)
     labels, cls_w, deltas, reg_w, assigned_gt = jax.vmap(single)(
         keys, proposals, prop_valid, batch['gt_bboxes'],
-        batch['gt_labels'], batch['gt_mask'])
+        batch['gt_labels'], batch['gt_mask'], neg_hardness)
 
     avg = jnp.maximum(cls_w.sum(), 1.0)
     logp = jax.nn.log_softmax(roi_cls, axis=-1)
@@ -138,7 +162,8 @@ def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
         fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1)
     l_cls, l_reg, aux = rcnn_targets_and_loss(
         fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
-        fwd['roi_reg'], batch, k2, cfg.head.num_classes)
+        fwd['roi_reg'], batch, k2, cfg.head.num_classes,
+        sampler=getattr(cfg, 'rcnn_sampler', 'random'))
     total = l_rpn_cls + l_rpn_reg + l_cls + l_reg
     logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg,
             'loss_cls': l_cls, 'loss_bbox': l_reg}

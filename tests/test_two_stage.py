@@ -185,3 +185,29 @@ def test_segm_results_pipeline(tmp_path):
         iou_types=('bbox', 'segm'), verbose=False)
     assert stats['segm']['AP'] > 0.6, stats['segm']
     assert os.path.exists(files['segm'])
+
+
+def test_ohem_sampler_picks_hard_negatives():
+    from kgdet_tpu.core.two_stage_loss import sample_pos_neg
+    rng = jax.random.PRNGKey(0)
+    pos = jnp.zeros(20, bool)
+    neg = jnp.ones(20, bool)
+    hardness = jnp.arange(20.0)
+    _, neg_sel = sample_pos_neg(rng, pos, neg, 8, 0.25,
+                                neg_priority=hardness)
+    # quota = 8 - 2 = 6 hardest negatives = indices 14..19
+    assert np.asarray(neg_sel).nonzero()[0].tolist() == list(range(14, 20))
+
+
+def test_faster_rcnn_ohem_train():
+    cfg = frcnn_cfg().replace(rcnn_sampler='ohem')
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    batch['seed'] = jnp.int32(11)
+    _, _, logs = step(params, stats, opt_state, batch)
+    assert np.isfinite(float(logs['loss_cls']))
