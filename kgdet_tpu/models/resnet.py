@@ -18,6 +18,7 @@ from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from kgdet_tpu.models.layers import FrozenBatchNorm, he_normal_init, \
     max_pool_3x3_s2
@@ -62,6 +63,32 @@ class DeformConv3x3(nn.Module):
         w = self.param('weight', he_normal_init(), (9, C, self.features),
                        jnp.float32)
         return deform_conv(x, rel, w.astype(self.dtype))
+
+
+def s2d_stem_conv(x, w):
+    """Exact space-to-depth rewrite of the 7x7/2 stem convolution.
+
+    A stride-2 conv on 3-channel input runs the MXU at 3/128 contraction
+    utilization; regrouping 2x2 pixel phases into channels (12-channel 4x4/1
+    conv) is mathematically identical and ~4x denser. The weight transform is
+    applied at runtime from the original (7, 7, 3, 64) parameter, so torch
+    checkpoint conversion is unaffected.
+    """
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    # pad kernel to 8x8 (leading zero row/col = the unused phase slot)
+    w_pad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = w_pad.reshape(4, 2, 4, 2, C, O)          # (k'y, py, k'x, px, c, o)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, O)
+    # pad input so sampling starts at an even offset (-4; row -4 has w=0)
+    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    Hp, Wp = H + 8, W + 8
+    x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C)
+    y = lax.conv_general_dilated(
+        x2, w2.astype(x2.dtype), (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y[:, :H // 2, :W // 2]
 
 
 class BasicBlock(nn.Module):
@@ -131,6 +158,16 @@ class Bottleneck(nn.Module):
         return out
 
 
+class _StemKernel(nn.Module):
+    """Holds the stem conv kernel at the torch-compatible param path
+    (backbone/conv1/kernel) for the space-to-depth stem."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', he_normal_init(), (7, 7, 3, 64),
+                          jnp.float32)
+
+
 class ResNet(nn.Module):
     depth: int = 50
     num_stages: int = 4
@@ -139,6 +176,8 @@ class ResNet(nn.Module):
     dcn_stages: Tuple[int, ...] = ()
     gcb_stages: Tuple[int, ...] = ()
     nonlocal_stages: Tuple[int, ...] = ()
+    # exact space-to-depth stem (see s2d_stem_conv); same params either way
+    s2d_stem: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -148,9 +187,13 @@ class ResNet(nn.Module):
         expansion = 1 if block_type == 'basic' else 4
 
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=he_normal_init(),
-                    name='conv1')(x)
+        if self.s2d_stem:
+            stem_kernel = _StemKernel(name='conv1')()
+            x = s2d_stem_conv(x, stem_kernel)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        kernel_init=he_normal_init(), name='conv1')(x)
         x = FrozenBatchNorm(dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)

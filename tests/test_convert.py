@@ -202,3 +202,21 @@ def test_frozen_bn_matches_torch_eval_bn():
          'batch_stats': {'mean': jnp.asarray(mean),
                          'var': jnp.asarray(var)}}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_s2d_stem_exactness():
+    """Space-to-depth stem == plain 7x7/2 conv with the same kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from kgdet_tpu.models.resnet import s2d_stem_conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    want = lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    got = s2d_stem_conv(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
