@@ -107,9 +107,12 @@ class Detector:
         data = self.cfg.val_data
         resized, sf = imrescale(img, data.img_scale)
         rh, rw = resized.shape[:2]
-        canvas = data.canvas_hw[0 if rw >= rh else (len(data.canvas_hw) - 1)]
-        if rh > canvas[0] or rw > canvas[1]:
-            # off-recipe scale: fall back to a /32-rounded bucket of its own
+        # smallest configured canvas that fits the resized image (min padded
+        # area); /32-rounded fallback bucket when none fits
+        fitting = [c for c in data.canvas_hw if c[0] >= rh and c[1] >= rw]
+        if fitting:
+            canvas = min(fitting, key=lambda c: c[0] * c[1])
+        else:
             div = data.size_divisor
             canvas = (-(-rh // div) * div, -(-rw // div) * div)
         x = pad_to_canvas(imnormalize(resized).astype(np.float32), canvas)

@@ -145,8 +145,9 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
     l_cls = -(jnp.take_along_axis(
         logp, labels[..., None], axis=-1)[..., 0] * cls_w).sum() / avg
 
-    # gather the positive class's delta slice (class c -> channel c-1)
-    cls_idx = jnp.clip(labels - 1, 0, num_classes - 1)
+    # gather the positive class's delta slice: reference layout keeps a
+    # background slice at 0, so 1-based label c indexes slice c directly
+    cls_idx = jnp.clip(labels, 0, roi_reg.shape[2] - 1)
     reg_sel = jnp.take_along_axis(
         roi_reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
     l_reg = smooth_l1_loss(reg_sel, deltas, reg_w[..., None],
@@ -198,8 +199,9 @@ def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
     else:
         reg = fwd['roi_reg'].astype(jnp.float32).reshape(B, R, -1, 4)
         best = jnp.argmax(fg_scores, axis=-1)
+        # slice 0 is background: fg class c uses slice c + 1
         reg_best = jnp.take_along_axis(
-            reg, best[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+            reg, (best + 1)[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
         boxes = delta2bbox(proposals, reg_best, stds=RCNN_TARGET_STDS)
     w = img_hw[:, 1][:, None]
     h = img_hw[:, 0][:, None]

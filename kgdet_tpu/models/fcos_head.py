@@ -67,6 +67,9 @@ class FCOSHead(nn.Module):
             outs.append({
                 'cls': jnp.stack([fcos_cls(cls_feat)]),
                 'bbox': jnp.stack([dist]),       # (l, t, r, b) in pixels
-                'centerness': jnp.stack([fcos_ctr(reg_feat)]),
+                # centerness branches off the cls tower, matching the
+                # reference (mmdet fcos_head.py:107) so converted torch
+                # checkpoints behave identically
+                'centerness': jnp.stack([fcos_ctr(cls_feat)]),
             })
         return outs

@@ -38,13 +38,18 @@ def _conv(features, k, s=1, name=None):
 
 
 class DeformConv3x3(nn.Module):
-    """3x3 deformable conv (DCN-in-backbone option, stride 1 only).
+    """3x3 deformable conv (DCN-in-backbone option), any stride.
 
-    Offsets predicted by a zero-init 3x3 conv (18 channels, y-first pairs),
-    added to the static base grid and fed to the shared deformable sampler
-    (parity: reference resnet.py DCN stage option, dcn dict in configs).
+    Offsets predicted by a zero-init 3x3 conv (18 channels, y-first pairs)
+    running at the same stride as the deform conv, added to the static base
+    grid and fed to the shared deformable sampler. The param naming
+    (conv_offset kernel/bias + tap-major weight) matches what
+    utils/torch_convert maps conv2_offset/conv2 onto.
+    (Parity: reference resnet.py:147-186 — DCN at conv2_stride, offsets
+    from a stride-matched conv2_offset.)
     """
     features: int
+    stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -54,15 +59,17 @@ class DeformConv3x3(nn.Module):
         from kgdet_tpu.ops.deform import deform_conv
 
         B, H, W, C = x.shape
-        offs = nn.Conv(18, (3, 3), padding='SAME',
+        offs = nn.Conv(18, (3, 3), strides=(self.stride, self.stride),
+                       padding=[(1, 1), (1, 1)],
                        kernel_init=nn.initializers.zeros,
                        dtype=self.dtype, name='conv_offset')(x)
+        Ho, Wo = offs.shape[1:3]
         base = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], indexing='ij'),
                         axis=-1).reshape(9, 2).astype(np.float32)
-        rel = offs.reshape(B, H, W, 9, 2) + jnp.asarray(base)
+        rel = offs.reshape(B, Ho, Wo, 9, 2) + jnp.asarray(base)
         w = self.param('weight', he_normal_init(), (9, C, self.features),
                        jnp.float32)
-        return deform_conv(x, rel, w.astype(self.dtype))
+        return deform_conv(x, rel, w.astype(self.dtype), stride=self.stride)
 
 
 def s2d_stem_conv(x, w):
@@ -134,9 +141,9 @@ class Bottleneck(nn.Module):
         out = _conv(self.planes, 1, 1, 'conv1')(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
-        if self.use_dcn and self.stride == 1:
-            out = DeformConv3x3(self.planes, dtype=self.dtype,
-                                name='conv2')(out)
+        if self.use_dcn:
+            out = DeformConv3x3(self.planes, stride=self.stride,
+                                dtype=self.dtype, name='conv2')(out)
         else:
             out = _conv(self.planes, 3, self.stride, 'conv2')(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)

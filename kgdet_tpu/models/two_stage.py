@@ -138,7 +138,13 @@ class ConvFCBBoxHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats):
         """roi_feats: (..., roi, roi, C) -> (cls_logits (..., C+1),
-        deltas (..., 4*C or 4))."""
+        deltas (..., 4*(C+1) or 4)).
+
+        Non-agnostic deltas use the reference layout — (C+1) slices with
+        slice 0 = background (convfc_bbox_head.py fc_reg out_dim_reg), so a
+        converted torch fc_reg loads without surgery; slice c serves
+        1-based foreground label c.
+        """
         lead = roi_feats.shape[:-3]
         x = roi_feats.reshape(*lead, -1)
         x = nn.relu(nn.Dense(self.fc_channels,
@@ -149,7 +155,8 @@ class ConvFCBBoxHead(nn.Module):
                              dtype=self.dtype, name='shared_fc_1')(x))
         cls = nn.Dense(self.num_classes + 1, kernel_init=normal_init(0.01),
                        dtype=self.dtype, name='fc_cls')(x)
-        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg_dim = 4 if self.reg_class_agnostic \
+            else 4 * (self.num_classes + 1)
         reg = nn.Dense(reg_dim, kernel_init=normal_init(0.001),
                        dtype=self.dtype, name='fc_reg')(x)
         return cls, reg
@@ -237,8 +244,9 @@ class FasterRCNN(nn.Module):
                     roi_cls.astype(jnp.float32), axis=-1)[..., 1:]
                 best = jnp.argmax(fg, axis=-1)
                 reg = roi_reg.astype(jnp.float32).reshape(B, R, -1, 4)
+                # slice 0 is background: fg class c uses slice c + 1
                 reg_best = jnp.take_along_axis(
-                    reg, best[..., None, None].repeat(4, -1),
+                    reg, (best + 1)[..., None, None].repeat(4, -1),
                     axis=2)[:, :, 0]
                 mask_boxes = delta2bbox(proposals, reg_best,
                                         stds=RCNN_TARGET_STDS)

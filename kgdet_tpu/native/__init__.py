@@ -8,6 +8,7 @@ cached next to the source.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,14 +17,23 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, 'maskops.cpp')
-_SO = os.path.join(_DIR, '_maskops.so')
 _lock = threading.Lock()
 _lib = None
 
 
-def _build():
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', _SO]
+def _so_path():
+    # source hash in the artifact name: mtime ordering is not preserved by
+    # git clones, so a stale binary could otherwise be loaded silently
+    with open(_SRC, 'rb') as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f'_maskops_{digest}.so')
+
+
+def _build(so):
+    tmp = so + '.tmp'
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
 
 
 def _load():
@@ -31,10 +41,10 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        so = _so_path()
+        if not os.path.exists(so):
+            _build(so)
+        lib = ctypes.CDLL(so)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         dp = ctypes.POINTER(ctypes.c_double)

@@ -167,27 +167,85 @@ int rle_from_string(const char* s, int slen, uint32_t* counts) {
   return m;
 }
 
-// Rasterize a polygon (xy pairs, image coords) to an RLE, matching the
-// COCO convention (upsample x5, crossing-based scanline in column-major
-// space). Simplified even-odd fill evaluated at pixel centers.
+// Rasterize a polygon (xy pairs, image coords) to an RLE, following the
+// COCO frPoly protocol (reference maskApi.c:161-201): the boundary is
+// rounded onto a 5x-upsampled integer grid, walked densely with an
+// integer line stepper, and every column-boundary crossing is downsampled
+// back to a pixel position; sorted crossing positions delta-coded with
+// parity merging give the column-major RLE directly. This reproduces the
+// reference's polygon->mask pixels exactly (a pixel-center even-odd fill
+// differs at boundaries, shifting segm/kpt eval numbers).
 int poly_to_rle(const double* xy, int n_pts, int h, int w, uint32_t* out) {
-  std::vector<uint8_t> mask((size_t)h * w, 0);
-  // even-odd rule at pixel centers (x+0.5, y+0.5)
-  for (int px = 0; px < w; px++) {
-    for (int py = 0; py < h; py++) {
-      double cx = px + 0.5, cy = py + 0.5;
-      bool inside = false;
-      for (int i = 0, j = n_pts - 1; i < n_pts; j = i++) {
-        double xi = xy[2 * i], yi = xy[2 * i + 1];
-        double xj = xy[2 * j], yj = xy[2 * j + 1];
-        if (((yi > cy) != (yj > cy)) &&
-            (cx < (xj - xi) * (cy - yi) / (yj - yi) + xi))
-          inside = !inside;
+  const double scale = 5.0;
+  const int k = n_pts;
+  if (k < 3 || h <= 0 || w <= 0) {
+    out[0] = (uint32_t)((long long)h * w);
+    return 1;
+  }
+  std::vector<int> x(k + 1), y(k + 1);
+  for (int j = 0; j < k; j++) x[j] = (int)(scale * xy[2 * j] + .5);
+  for (int j = 0; j < k; j++) y[j] = (int)(scale * xy[2 * j + 1] + .5);
+  x[k] = x[0];
+  y[k] = y[0];
+
+  // dense boundary walk on the upsampled grid (direction-normalized so
+  // both orientations of an edge produce identical point sequences)
+  std::vector<int> u, v;
+  for (int j = 0; j < k; j++) {
+    int xs = x[j], xe = x[j + 1], ys = y[j], ye = y[j + 1];
+    int dx = std::abs(xe - xs), dy = std::abs(ys - ye);
+    bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+    if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
+    if (dx >= dy) {
+      double s = dx ? (double)(ye - ys) / dx : 0.0;
+      for (int d = 0; d <= dx; d++) {
+        int t = flip ? dx - d : d;
+        u.push_back(t + xs);
+        v.push_back((int)(ys + s * t + .5));
       }
-      if (inside) mask[(size_t)px * h + py] = 1;   // column-major
+    } else {
+      double s = (double)(xe - xs) / dy;
+      for (int d = 0; d <= dy; d++) {
+        int t = flip ? dy - d : d;
+        v.push_back(t + ys);
+        u.push_back((int)(xs + s * t + .5));
+      }
     }
   }
-  return rle_encode(mask.data(), h, w, out);
+
+  // column-boundary crossings, downsampled to pixel coordinates
+  std::vector<uint32_t> a;
+  const int m = (int)u.size();
+  for (int j = 1; j < m; j++) {
+    if (u[j] == u[j - 1]) continue;
+    double xd = (double)(u[j] < u[j - 1] ? u[j] : u[j] - 1);
+    xd = (xd + .5) / scale - .5;
+    if (std::floor(xd) != xd || xd < 0 || xd > w - 1) continue;
+    double yd = (double)(v[j] < v[j - 1] ? v[j] : v[j - 1]);
+    yd = (yd + .5) / scale - .5;
+    if (yd < 0) yd = 0; else if (yd > h) yd = h;
+    yd = std::ceil(yd);
+    a.push_back((uint32_t)((int)xd * h + (int)yd));
+  }
+  a.push_back((uint32_t)((long long)h * w));
+  std::sort(a.begin(), a.end());
+
+  // delta-code sorted positions; a zero delta = double crossing, which
+  // cancels (parity) and folds into the previous count
+  uint32_t p = 0;
+  for (size_t j = 0; j < a.size(); j++) { uint32_t t = a[j]; a[j] -= p; p = t; }
+  int mo = 0;
+  size_t j = 0;
+  out[mo++] = a[j++];
+  while (j < a.size()) {
+    if (a[j] > 0) {
+      out[mo++] = a[j++];
+    } else {
+      j++;
+      if (j < a.size()) out[mo - 1] += a[j++];
+    }
+  }
+  return mo;
 }
 
 }  // extern "C"

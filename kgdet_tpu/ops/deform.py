@@ -132,28 +132,31 @@ def _use_pallas(feat):
     return use_pallas_sampling(feat.shape[1:], feat.dtype.itemsize)
 
 
-def deform_sample(feat, rel_offsets_yx):
+def deform_sample(feat, rel_offsets_yx, stride: int = 1):
     """Sample every output pixel's K taps at center + offset.
 
     Args:
       feat: (B, H, W, C).
-      rel_offsets_yx: (B, H, W, K, 2) tap offsets (y, x) relative to each
-        pixel center, in feature-grid units.
+      rel_offsets_yx: (B, Ho, Wo, K, 2) tap offsets (y, x) relative to each
+        output pixel's input-space center (= stride * output index), in
+        feature-grid units. Ho/Wo = ceil(H/stride), ceil(W/stride).
+      stride: conv stride; >1 subsamples output pixel centers (the DCN
+        conv2_stride case, reference resnet.py:150-182).
 
     Returns:
-      (B, H*W, K, C) sampled columns (row-major over (H, W)).
+      (B, Ho*Wo, K, C) sampled columns (row-major over (Ho, Wo)).
 
     Dispatches to the Pallas TPU kernel (ops/pallas_deform.py) when the
     feature map fits in VMEM; XLA gather otherwise.
     """
     B, H, W, C = feat.shape
-    K = rel_offsets_yx.shape[3]
+    _, Ho, Wo, K, _ = rel_offsets_yx.shape
     pos_dtype = jnp.promote_types(rel_offsets_yx.dtype, jnp.float32)
-    cy = jnp.arange(H, dtype=pos_dtype)
-    cx = jnp.arange(W, dtype=pos_dtype)
+    cy = jnp.arange(Ho, dtype=pos_dtype) * stride
+    cx = jnp.arange(Wo, dtype=pos_dtype) * stride
     centers = jnp.stack(
-        [jnp.repeat(cy, W), jnp.tile(cx, H)], axis=-1)  # (H*W, 2)
-    pos = rel_offsets_yx.astype(pos_dtype).reshape(B, H * W, K, 2) \
+        [jnp.repeat(cy, Wo), jnp.tile(cx, Ho)], axis=-1)  # (Ho*Wo, 2)
+    pos = rel_offsets_yx.astype(pos_dtype).reshape(B, Ho * Wo, K, 2) \
         + centers[None, :, None, :]
     if _use_pallas(feat):
         from kgdet_tpu.ops.pallas_deform import deform_sample_hybrid
@@ -174,20 +177,20 @@ def deform_conv_from_samples(samples, weight, bias=None):
     return out.astype(samples.dtype)
 
 
-def deform_conv(feat, rel_offsets_yx, weight, bias=None, modulation=None):
-    """Full deformable conv: sample + contract. Returns (B, H, W, Cout).
+def deform_conv(feat, rel_offsets_yx, weight, bias=None, modulation=None,
+                stride: int = 1):
+    """Full deformable conv: sample + contract. Returns (B, Ho, Wo, Cout).
 
-    modulation: optional (B, H, W, K) per-tap scalar gates — the v2
+    modulation: optional (B, Ho, Wo, K) per-tap scalar gates — the v2
     ("modulated") DCN extension (parity: deform_conv_cuda.cpp:467-866,
     modulated_deform_conv_cuda_forward). None = v1 behavior.
     """
-    B, H, W, _ = feat.shape
-    cols = deform_sample(feat, rel_offsets_yx)
+    B, Ho, Wo, K, _ = rel_offsets_yx.shape
+    cols = deform_sample(feat, rel_offsets_yx, stride=stride)
     if modulation is not None:
-        K = rel_offsets_yx.shape[3]
-        cols = cols * modulation.reshape(B, H * W, K, 1).astype(cols.dtype)
+        cols = cols * modulation.reshape(B, Ho * Wo, K, 1).astype(cols.dtype)
     out = deform_conv_from_samples(cols, weight, bias)
-    return out.reshape(B, H, W, weight.shape[-1])
+    return out.reshape(B, Ho, Wo, weight.shape[-1])
 
 
 def grad_multiply(x, mul):

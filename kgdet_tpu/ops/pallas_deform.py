@@ -11,9 +11,11 @@ reads instead of an HBM gather descriptor:
 Index/weight preparation (floor/frac/clamping, out-of-bounds zeroing) runs in
 XLA on small (B, P, K) tensors; the kernel is a pure weighted-gather.
 
-Backward runs the XLA reference implementation (kgdet_tpu.ops.deform) through
-jax.vjp — correctness identical, training pays the XLA gather price only on
-the backward pass.
+Backward is also a Pallas kernel (_bwd_kernel): the feature gradient is a
+scatter-accumulate into a VMEM-resident gradient map and the per-corner
+contraction scalars s_ij = <g, feat[corner_ij]> for the position gradient
+are emitted by the same tap walk; XLA combines them with the analytic
+bilinear-weight derivatives.
 
 Parity: CUDA deformable_im2col (reference deform_conv_cuda_kernel.cu:84-245).
 """

@@ -251,7 +251,12 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = 'dp'):
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = 'dp'):
-    """Shard batch-major arrays over dp; replicate scalars/oddly-sized."""
+    """Shard batch-major arrays over dp; replicate scalars.
+
+    Raises on a non-divisible leading dim instead of silently replicating:
+    a batch-size/mesh mismatch here would otherwise degrade into N copies of
+    the full batch with no error anywhere downstream.
+    """
     sharded = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
     n = mesh.devices.size
@@ -259,9 +264,13 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = 'dp'):
     def put(x):
         import numpy as _np
         x = _np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, sharded)
-        return jax.device_put(x, replicated)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated)
+        if x.shape[0] % n != 0:
+            raise ValueError(
+                f'shard_batch: leading dim {x.shape[0]} not divisible by '
+                f'the {n}-device {axis!r} mesh axis (shape {x.shape})')
+        return jax.device_put(x, sharded)
 
     return jax.tree.map(put, batch)
 

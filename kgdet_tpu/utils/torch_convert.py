@@ -46,6 +46,30 @@ def _dcn_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w.reshape(cout, cin, kh * kw), (2, 1, 0))
 
 
+def _fc_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _roi_flat_fc_kernel(w: np.ndarray, roi: int = 7) -> np.ndarray:
+    """FC over flattened RoI features: torch flattens (C, r, r), flax
+    flattens (r, r, C) — permute the input rows accordingly."""
+    out_f, in_f = w.shape
+    c = in_f // (roi * roi)
+    assert c * roi * roi == in_f, (w.shape, roi)
+    return np.transpose(w.reshape(out_f, c, roi, roi),
+                        (2, 3, 1, 0)).reshape(in_f, out_f)
+
+
+def _deconv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> flax (kh, kw, Cin, Cout).
+
+    flax ConvTranspose applies the kernel unflipped (lax.conv_transpose)
+    while torch's deconv is the gradient of a conv (implicit spatial flip),
+    so the spatial axes are reversed here.
+    """
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
 def convert_state_dict(state_dict: Dict[str, Any]):
     """Map a KGDet torch state_dict to (params, batch_stats) pytrees.
 
@@ -61,15 +85,29 @@ def convert_state_dict(state_dict: Dict[str, Any]):
             v = v.detach().cpu().numpy()
         return np.asarray(v, dtype=np.float32)
 
+    # blocks whose conv2 is a DeformConv (reference resnet.py:171-186 pairs
+    # every DCN conv2 with a conv2_offset conv) — their conv2.weight needs
+    # the tap-major DCN layout instead of the HWIO conv layout
+    dcn_blocks = set()
+    for key in state_dict:
+        m = re.match(r'backbone\.(layer\d)\.(\d+)\.conv2_offset\.', key)
+        if m:
+            dcn_blocks.add(f'{m.group(1)}/{m.group(2)}')
+
     for key, val in state_dict.items():
         v = npy(val)
         parts = key.split('.')
         if parts[0] == 'backbone':
-            _convert_backbone(parts[1:], v, params, stats, skipped, key)
+            _convert_backbone(parts[1:], v, params, stats, skipped, key,
+                              dcn_blocks)
         elif parts[0] == 'neck':
             _convert_neck(parts[1:], v, params, skipped, key)
         elif parts[0] == 'bbox_head':
             _convert_head(parts[1:], v, params, skipped, key)
+        elif parts[0] == 'rpn_head':
+            _convert_rpn(parts[1:], v, params, skipped, key)
+        elif parts[0] == 'mask_head':
+            _convert_mask_head(parts[1:], v, params, skipped, key)
         else:
             skipped.append(key)
     return params, stats, skipped
@@ -91,7 +129,7 @@ def _bn(parts, v, params, stats, prefix):
         raise KeyError(leaf)
 
 
-def _convert_backbone(parts, v, params, stats, skipped, key):
+def _convert_backbone(parts, v, params, stats, skipped, key, dcn_blocks=()):
     if parts[0] == 'conv1':
         _set(params, ('backbone', 'conv1', 'kernel'), _conv_kernel(v))
     elif parts[0] == 'bn1':
@@ -99,7 +137,14 @@ def _convert_backbone(parts, v, params, stats, skipped, key):
     elif re.match(r'layer\d$', parts[0]):
         block = f'{parts[0]}/{parts[1]}'
         sub = parts[2]
-        if sub.startswith('conv'):
+        if sub == 'conv2_offset':
+            leaf = 'kernel' if parts[3] == 'weight' else 'bias'
+            _set(params, ('backbone', block, 'conv2', 'conv_offset', leaf),
+                 _conv_kernel(v) if leaf == 'kernel' else v)
+        elif sub == 'conv2' and block in dcn_blocks:
+            _set(params, ('backbone', block, 'conv2', 'weight'),
+                 _dcn_kernel(v))
+        elif sub.startswith('conv'):
             _set(params, ('backbone', block, sub, 'kernel'), _conv_kernel(v))
         elif sub.startswith('bn'):
             _bn(parts, v, params, stats, ('backbone', block, sub))
@@ -137,7 +182,58 @@ def _convert_neck(parts, v, params, skipped, key):
         skipped.append(key)
 
 
+def _convert_rpn(parts, v, params, skipped, key):
+    """RPN head (reference rpn_head.py:19-23): three plain convs."""
+    if parts[0] in ('rpn_conv', 'rpn_cls', 'rpn_reg'):
+        leaf = 'kernel' if parts[1] == 'weight' else 'bias'
+        _set(params, ('rpn_head', parts[0], leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+    else:
+        skipped.append(key)
+
+
+def _convert_mask_head(parts, v, params, skipped, key):
+    """FCN mask head (fcn_mask_head.py): convs.N.conv + upsample + logits.
+
+    The reference conv_logits carries a background channel 0
+    (num_classes includes background in mmdet v1); the flax head predicts
+    foreground classes only, so that channel is dropped here.
+    """
+    if parts[0] == 'convs':
+        name = f'conv_{parts[1]}'
+        leaf = 'kernel' if parts[3] == 'weight' else 'bias'
+        _set(params, ('mask_head', name, leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+    elif parts[0] == 'upsample':
+        leaf = 'kernel' if parts[1] == 'weight' else 'bias'
+        _set(params, ('mask_head', 'upsample', leaf),
+             _deconv_kernel(v) if leaf == 'kernel' else v)
+    elif parts[0] == 'conv_logits':
+        if parts[1] == 'weight':
+            _set(params, ('mask_head', 'conv_logits', 'kernel'),
+                 _conv_kernel(v[1:]))
+        else:
+            _set(params, ('mask_head', 'conv_logits', 'bias'), v[1:])
+    else:
+        skipped.append(key)
+
+
 def _convert_head(parts, v, params, skipped, key):
+    # two-stage ConvFC box head (convfc_bbox_head.py): shared FCs + heads
+    if parts[0] == 'shared_fcs':
+        name = f'shared_fc_{parts[1]}'
+        if parts[2] == 'weight':
+            k = _roi_flat_fc_kernel(v) if parts[1] == '0' else _fc_kernel(v)
+            _set(params, ('bbox_head', name, 'kernel'), k)
+        else:
+            _set(params, ('bbox_head', name, 'bias'), v)
+        return
+    if parts[0] in ('fc_cls', 'fc_reg'):
+        if parts[1] == 'weight':
+            _set(params, ('bbox_head', parts[0], 'kernel'), _fc_kernel(v))
+        else:
+            _set(params, ('bbox_head', parts[0], 'bias'), v)
+        return
     if parts[0] == 'moment_transfer':
         _set(params, ('head', 'moment_transfer'), v)
         return

@@ -220,3 +220,44 @@ def test_s2d_stem_exactness():
     got = s2d_stem_conv(x, w)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_deconv_kernel_matches_torch_convtranspose():
+    """flax ConvTranspose(2x2/2) with the converted kernel == torch deconv."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from kgdet_tpu.utils.torch_convert import _deconv_kernel
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 5, 6, 3).astype(np.float32)
+    w = rng.randn(3, 4, 2, 2).astype(np.float32)     # (Cin, Cout, kh, kw)
+    b = rng.randn(4).astype(np.float32)
+
+    t = torch.nn.functional.conv_transpose2d(
+        torch.tensor(np.transpose(x, (0, 3, 1, 2))), torch.tensor(w),
+        torch.tensor(b), stride=2)
+    want = np.transpose(t.numpy(), (0, 2, 3, 1))
+
+    mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    got = mod.apply({'params': {'kernel': jnp.asarray(_deconv_kernel(w)),
+                                'bias': jnp.asarray(b)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_roi_flat_fc_kernel_permutation():
+    """torch Linear over (C,r,r)-flat == flax Dense over (r,r,C)-flat."""
+    import jax.numpy as jnp
+
+    from kgdet_tpu.utils.torch_convert import _roi_flat_fc_kernel
+
+    rng = np.random.RandomState(3)
+    c, r, out = 5, 7, 8
+    feat = rng.randn(2, r, r, c).astype(np.float32)   # flax layout
+    w = rng.randn(out, c * r * r).astype(np.float32)  # torch fc weight
+
+    torch_in = np.transpose(feat, (0, 3, 1, 2)).reshape(2, -1)
+    want = torch_in @ w.T
+
+    got = feat.reshape(2, -1) @ _roi_flat_fc_kernel(w, roi=r)
+    np.testing.assert_allclose(got, want, atol=1e-4)

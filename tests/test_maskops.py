@@ -84,3 +84,37 @@ def test_empty_and_full_masks():
     np.testing.assert_allclose(z.to_bbox(), [0, 0, 0, 0])
     np.testing.assert_allclose(f.to_bbox(), [0, 0, 8, 8])
     assert z.iou(f) == 0.0
+
+
+def test_frpoly_integer_rectangle_exact():
+    """COCO frPoly on an integer rectangle fills exactly [x0,x1)x[y0,y1)."""
+    rle = RLE.from_poly([1, 1, 4, 1, 4, 3, 1, 3], 5, 6)
+    m = rle.decode()
+    want = np.zeros((5, 6), np.uint8)
+    want[1:3, 1:4] = 1
+    np.testing.assert_array_equal(m, want)
+    assert rle.area() == 6
+
+
+def test_frpoly_fractional_triangle_properties():
+    """Fractional-coordinate polygon: area close to analytic, valid RLE."""
+    # triangle (0.5,0.5)-(9.5,0.5)-(0.5,9.5): analytic area 40.5
+    rle = RLE.from_poly([0.5, 0.5, 9.5, 0.5, 0.5, 9.5], 10, 10)
+    m = rle.decode()
+    assert abs(int(rle.area()) - 40.5) <= 6
+    # mask is upper-left triangular-ish: far corner empty
+    assert m[9, 9] == 0
+    # round-trip through encode stays identical
+    again = RLE.encode(m)
+    np.testing.assert_array_equal(again.counts, rle.counts)
+
+
+def test_frpoly_out_of_canvas_clip():
+    """Polygon extending past the canvas clips without error."""
+    rle = RLE.from_poly([-2, -2, 7, -2, 7, 7, -2, 7], 4, 4)
+    m = rle.decode()
+    np.testing.assert_array_equal(m, np.ones((4, 4), np.uint8))
+
+
+def test_frpoly_degenerate():
+    assert RLE.from_poly([1, 1, 2, 2], 4, 4).area() == 0

@@ -197,7 +197,8 @@ def test_backbone_stage_extras():
     p = variables['params']
     assert 'context_block' in p['layer1/0']
     assert 'nonlocal_block' in p['layer2/0']
-    assert 'conv_offset' in p['layer2/1']['conv2']   # dcn on stride-1 blocks
+    assert 'conv_offset' in p['layer2/1']['conv2']   # dcn, stride-1 block
+    assert 'conv_offset' in p['layer2/0']['conv2']   # dcn, stride-2 block
     outs = jax.jit(m.apply)(variables, x)
     assert outs[0].shape == (1, 8, 8, 256)
     assert np.isfinite(np.asarray(outs[1])).all()
