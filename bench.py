@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -18,6 +19,95 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 13.6  # mmdetection v1.x R-50-FPN inference fps on 1x V100
+
+
+def kernel_check():
+    """--check: compiled Mosaic kernel parity vs the XLA reference.
+
+    Interpret-mode CI (tests/test_pallas_deform.py) can't catch a Mosaic
+    lowering bug; this runs the Pallas deformable-sampling fwd+bwd on the
+    real backend — the cascade hot shape (VMEM-resident) and the
+    serial-head stride-8 shape (channel-tiled) — and compares outputs and
+    both gradients against the XLA gather path. Prints one JSON line;
+    exits nonzero on mismatch.
+    """
+    import kgdet_tpu.ops.pallas_deform as pd
+    from kgdet_tpu.ops.deform import bilinear_gather
+
+    rng = np.random.RandomState(0)
+    results = {}
+
+    def rel_err(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b) / (np.abs(b) + 1.0)))
+
+    # serial_tiled uses bf16 like the production serial-head path (an f32
+    # map of that extent exceeds the per-slice budget by design)
+    cases = {
+        'hot_untiled': dict(B=2, H=24, W=42, C=512, K=83,
+                            dtype=jnp.float32, tol=1e-3),
+        'serial_tiled': dict(B=1, H=96, W=168, C=512, K=9,
+                             dtype=jnp.bfloat16, tol=2e-2),
+    }
+    tols = {}
+    for name, c in cases.items():
+        P = c['H'] * c['W']
+        feat = jnp.asarray(
+            rng.randn(c['B'], c['H'], c['W'], c['C']).astype(
+                np.float32)).astype(c['dtype'])
+        pos = jnp.asarray(rng.uniform(
+            -2, max(c['H'], c['W']) + 1,
+            (c['B'], P, c['K'], 2)).astype(np.float32))
+        g = jnp.asarray(
+            rng.randn(c['B'], P, c['K'], c['C']).astype(
+                np.float32)).astype(c['dtype'])
+        if name == 'serial_tiled':
+            st = pd.slice_tiles(P, c['C'] // 128, feat.dtype.itemsize)
+            assert st is not None and st < c['C'] // 128, st
+        out_p, vjp_p = jax.vjp(pd.deform_sample_hybrid, feat, pos)
+        out_x, vjp_x = jax.vjp(bilinear_gather, feat, pos)
+        gf_p, gp_p = vjp_p(g)
+        gf_x, gp_x = vjp_x(g)
+        results[f'{name}.fwd'] = rel_err(out_p, out_x)
+        results[f'{name}.grad_feat'] = rel_err(gf_p, gf_x)
+        results[f'{name}.grad_pos'] = rel_err(gp_p, gp_x)
+        tols.update({f'{name}.fwd': c['tol'],
+                     f'{name}.grad_feat': c['tol'],
+                     f'{name}.grad_pos': c['tol']})
+
+    # column/branch-split kernel on the cascade tap layout
+    taps = (9, 25, 49)
+    B, H, W, C = 1, 24, 42, 256
+    P, K = H * W, sum(taps)
+    cls_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pts_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-2, 44, (B, P, K, 2)).astype(np.float32))
+
+    def loss(fn):
+        def f(cf, pf, po):
+            outs = fn(cf, pf, po, taps)
+            return sum(jnp.sum(a ** 2) + jnp.sum(b ** 3) for a, b in outs)
+        return f
+
+    for (an, av), (bn, bv) in zip(
+            zip(('grad_cls', 'grad_pts', 'grad_pos'),
+                jax.grad(loss(pd.deform_sample_split), argnums=(0, 1, 2))(
+                    cls_f, pts_f, pos)),
+            zip(('grad_cls', 'grad_pts', 'grad_pos'),
+                jax.grad(loss(pd._split_xla), argnums=(0, 1, 2))(
+                    cls_f, pts_f, pos))):
+        results[f'split.{an}'] = rel_err(av, bv)
+
+    ok = all(v < tols.get(k, 1e-3) for k, v in results.items())
+    print(json.dumps({
+        'metric': 'pallas_kernel_check',
+        'value': 1.0 if ok else 0.0,
+        'unit': 'pass',
+        'vs_baseline': 1.0 if ok else 0.0,
+        'rel_errs': {k: round(v, 8) for k, v in results.items()},
+    }))
+    return ok
 
 
 def main():
@@ -68,4 +158,6 @@ def main():
 
 
 if __name__ == '__main__':
+    if '--check' in sys.argv:
+        sys.exit(0 if kernel_check() else 1)
     main()

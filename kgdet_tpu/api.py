@@ -21,6 +21,10 @@ from kgdet_tpu.parallel.train import build_level_geometry
 
 
 def build_model(cfg: KGDetConfig):
+    if cfg.detector_type == 'cascade_rcnn':
+        from kgdet_tpu.models.two_stage import CascadeRCNN
+        return CascadeRCNN(cfg, num_proposals_train=cfg.num_proposals_train,
+                           num_proposals_test=cfg.num_proposals_test)
     if cfg.detector_type in ('faster_rcnn', 'mask_rcnn'):
         from kgdet_tpu.models.two_stage import FasterRCNN
         return FasterRCNN(cfg, with_mask=cfg.detector_type == 'mask_rcnn',
@@ -80,7 +84,7 @@ class Detector:
         self.model = build_model(cfg)
         self.variables = variables
         self._predict_fns = {}
-        self._scale_detectors = {}
+        self._raw_predict_fns = {}
 
     def _predict_for(self, canvas):
         if canvas not in self._predict_fns:
@@ -130,51 +134,79 @@ class Detector:
         return boxes, labels, kpts
 
 
+    def _raw_predict_for(self, canvas):
+        """Jitted pre-NMS decode for one canvas (TTA merge path)."""
+        if canvas not in self._raw_predict_fns:
+            from kgdet_tpu.core.postprocess import decode_raw
+            grids = build_level_geometry(self.cfg, canvas)
+            cfg = self.cfg
+
+            @jax.jit
+            def raw(variables, batch):
+                outs = self.model.apply(variables, batch['image'])
+                return decode_raw(outs, grids, batch['img_hw'],
+                                  batch['scale_factor'], cfg.test,
+                                  num_keypts=cfg.head.num_keypts)
+
+            self._raw_predict_fns[canvas] = raw
+        return self._raw_predict_fns[canvas]
+
     def aug_call(self, img, scales=None, flip=True, score_thr=None):
         """Multi-scale / flip test-time augmentation (boxes only).
 
-        Mirrors the reference's aug_test (reppoints_detector_kp.py:118-148):
-        per-aug detections are mapped back to original coordinates, merged,
-        and re-suppressed with NMS; keypoints are dropped in aug mode.
+        Reference merge order (reppoints_detector_kp.py:93-148): raw
+        pre-NMS decoded boxes from every aug variant are mapped back to
+        original coordinates, concatenated, and suppressed by ONE
+        multiclass NMS; keypoints are dropped in aug mode.
         """
         import cv2
 
-        from kgdet_tpu.data.transforms import flip_bboxes
+        from kgdet_tpu.data.transforms import (
+            imnormalize, imrescale, pad_to_canvas)
         from kgdet_tpu.ops.nms import multiclass_nms_kp
 
         if isinstance(img, str):
             img = cv2.imread(img)
             if img is None:
                 raise FileNotFoundError(img)
-        base_scale = self.cfg.val_data.img_scale
-        scales = scales or [base_scale]
-        all_boxes, all_labels, all_scores = [], [], []
+        data = self.cfg.val_data
+        scales = [tuple(s) for s in (scales or [data.img_scale])]
+        all_boxes, all_scores = [], []
         for scale in scales:
             for do_flip in ([False, True] if flip else [False]):
-                aug_img = img[:, ::-1] if do_flip else img
-                key = tuple(scale)
-                if key not in self._scale_detectors:
-                    cfg = self.cfg.replace(
-                        val_data=dataclasses.replace(
-                            self.cfg.val_data, img_scale=key))
-                    self._scale_detectors[key] = Detector(cfg, self.variables)
-                det = self._scale_detectors[key]
-                boxes, labels, _ = det(np.ascontiguousarray(aug_img))
-                if do_flip and len(boxes):
-                    boxes[:, :4] = flip_bboxes(boxes[:, :4], img.shape[1])
-                all_boxes.append(boxes)
-                all_labels.append(labels)
+                resized, sf = imrescale(img, scale)
+                rh, rw = resized.shape[:2]
+                if do_flip:
+                    resized = resized[:, ::-1]
+                fitting = [c for c in data.canvas_hw
+                           if c[0] >= rh and c[1] >= rw]
+                if fitting:
+                    canvas = min(fitting, key=lambda c: c[0] * c[1])
+                else:
+                    div = data.size_divisor
+                    canvas = (-(-rh // div) * div, -(-rw // div) * div)
+                x = pad_to_canvas(
+                    imnormalize(np.ascontiguousarray(resized)).astype(
+                        np.float32), canvas)
+                feed = {
+                    'image': jnp.asarray(x[None]),
+                    'img_hw': jnp.asarray([[rh, rw]], jnp.float32),
+                    'scale_factor': jnp.asarray([sf], jnp.float32),
+                }
+                bboxes, sc, _ = self._raw_predict_for(tuple(canvas))(
+                    self.variables, feed)
+                b = np.asarray(bboxes[0])
+                if do_flip:
+                    lim = (rw - 1) / sf
+                    b = b.copy()
+                    b[:, [0, 2]] = lim - b[:, [2, 0]]
+                all_boxes.append(b)
+                all_scores.append(np.asarray(sc[0]))
         boxes = np.concatenate(all_boxes, axis=0)
-        labels = np.concatenate(all_labels, axis=0)
-        if not len(boxes):
-            return boxes, labels
-        # merged NMS over per-class score columns
-        C = self.cfg.head.num_classes
-        scores = np.zeros((len(boxes), C), np.float32)
-        scores[np.arange(len(boxes)), labels] = boxes[:, 4]
+        scores = np.concatenate(all_scores, axis=0)
         t = self.cfg.test
         det_b, det_l, _, valid = multiclass_nms_kp(
-            jnp.asarray(boxes[:, :4]), jnp.asarray(scores),
+            jnp.asarray(boxes), jnp.asarray(scores),
             jnp.zeros((len(boxes), 3), jnp.float32),
             score_thr if score_thr is not None else t.score_thr,
             t.nms_iou_thr, max_per_class=t.max_per_class,

@@ -115,6 +115,10 @@ class AssignConfig:
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.4
     min_pos_iou: float = 0.0
+    # candidates overlapping a crowd region by IoF > thr are excluded from
+    # both positives and negatives (<=0 disables; reference
+    # max_iou_assigner.py ignore_iof_thr)
+    ignore_iof_thr: float = -1.0
 
 
 @dataclass(frozen=True)
@@ -159,6 +163,13 @@ class DataConfig:
     with_mask: bool = False
     mask_stride: int = 4
     max_gts: int = 32
+    # crowd (iscrowd=1) regions ride along as padded ignore boxes
+    max_ignore: int = 8
+    # extra augmentations (reference extra_aug.py, wired through
+    # prepare_train in the reference's order: photometric -> expand -> crop)
+    photo_metric_distortion: bool = False
+    expand: bool = False
+    random_crop: bool = False
     batch_size: int = 8          # global batch
     # two aspect-ratio buckets: landscape / portrait padded canvases
     canvas_hw: Tuple[Tuple[int, int], ...] = ((800, 1344), (1344, 800))

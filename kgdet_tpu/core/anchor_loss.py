@@ -20,16 +20,27 @@ from kgdet_tpu.ops.nms import multiclass_nms_kp
 
 
 def anchor_targets(anchors, anchor_valid, gt_bboxes, gt_labels, gt_mask,
-                   pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0):
+                   pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
+                   gt_bboxes_ignore=None, gt_ignore_mask=None,
+                   ignore_iof_thr=-1.0):
     """Batched anchor targets over the concatenated anchor set.
 
     anchors: (P, 4); anchor_valid: (B, P); gts as usual (B, G, ...).
     Returns (labels (B,P), label_weights, deltas (B,P,4), bbox_weights,
-    num_pos (B,)).
+    num_pos (B,)). Anchors inside crowd regions (IoF > ignore_iof_thr) get
+    zero label weight (reference anchor_target.py + max_iou_assigner.py
+    ignore path).
     """
-    def single(valid, bboxes, labels, mask):
+    if gt_bboxes_ignore is None:
+        B = gt_bboxes.shape[0]
+        gt_bboxes_ignore = jnp.zeros((B, 1, 4), jnp.float32)
+        gt_ignore_mask = jnp.zeros((B, 1), bool)
+
+    def single(valid, bboxes, labels, mask, ign, ign_mask):
         a = assign_max_iou(anchors, valid, bboxes, mask,
-                           pos_iou_thr, neg_iou_thr, min_pos_iou)
+                           pos_iou_thr, neg_iou_thr, min_pos_iou,
+                           gt_bboxes_ignore=ign, gt_ignore_mask=ign_mask,
+                           ignore_iof_thr=ignore_iof_thr)
         posf = a.pos_mask.astype(jnp.float32)
         labels_out = jnp.where(a.pos_mask, labels[a.assigned_gt], 0)
         label_weights = (valid & ~a.ignore_mask).astype(jnp.float32)
@@ -39,7 +50,8 @@ def anchor_targets(anchors, anchor_valid, gt_bboxes, gt_labels, gt_mask,
         return (labels_out.astype(jnp.int32), label_weights, deltas,
                 bbox_weights, num_pos)
 
-    return jax.vmap(single)(anchor_valid, gt_bboxes, gt_labels, gt_mask)
+    return jax.vmap(single)(anchor_valid, gt_bboxes, gt_labels, gt_mask,
+                            gt_bboxes_ignore, gt_ignore_mask)
 
 
 def retina_loss(level_outs: List[Dict], anchors_per_level: Sequence,
@@ -54,7 +66,10 @@ def retina_loss(level_outs: List[Dict], anchors_per_level: Sequence,
         anchors, valid, batch['gt_bboxes'], batch['gt_labels'],
         batch['gt_mask'], pos_iou_thr=assign_cfg.pos_iou_thr,
         neg_iou_thr=assign_cfg.neg_iou_thr,
-        min_pos_iou=assign_cfg.min_pos_iou)
+        min_pos_iou=assign_cfg.min_pos_iou,
+        gt_bboxes_ignore=batch.get('gt_bboxes_ignore'),
+        gt_ignore_mask=batch.get('gt_ignore_mask'),
+        ignore_iof_thr=getattr(assign_cfg, 'ignore_iof_thr', -1.0))
     avg = jnp.sum(num_pos).astype(jnp.float32)
 
     cls = jnp.concatenate(

@@ -34,6 +34,17 @@ def iou_xyxy(a, b, eps=1e-6):
     return inter / jnp.maximum(union, eps)
 
 
+def iof_xyxy(a, b, eps=1e-6):
+    """Intersection-over-foreground matrix: inter(a_i, b_j) / area(a_i)."""
+    tl = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    br = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0, None) * \
+        jnp.clip(a[:, 3] - a[:, 1], 0, None)
+    return inter / jnp.maximum(area_a[:, None], eps)
+
+
 class IoUAssignment(NamedTuple):
     assigned_gt: jnp.ndarray   # (P,) int32 index into G (valid where pos)
     pos_mask: jnp.ndarray      # (P,) bool
@@ -41,15 +52,29 @@ class IoUAssignment(NamedTuple):
 
 
 def assign_max_iou(candidates, cand_valid, gt_bboxes, gt_mask,
-                   pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0):
+                   pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
+                   gt_bboxes_ignore=None, gt_ignore_mask=None,
+                   ignore_iof_thr=-1.0):
     """Vectorized MaxIoUAssigner for one image.
 
     candidates: (P, 4) xyxy; cand_valid: (P,) bool; gt_bboxes: (G, 4);
     gt_mask: (G,) bool.
+
+    With ignore_iof_thr > 0 and crowd regions (gt_bboxes_ignore (Gi, 4) +
+    gt_ignore_mask (Gi,)), candidates whose IoF with any crowd region
+    exceeds the threshold become neither positive nor negative — their
+    cls/reg weights end up 0 downstream (parity: reference
+    max_iou_assigner.py:38-44, overlaps[:, crowd] = -1).
     """
     G = gt_bboxes.shape[0]
     overlaps = iou_xyxy(gt_bboxes, candidates)          # (G, P)
     eligible = gt_mask[:, None] & cand_valid[None, :]
+    crowd = jnp.zeros(candidates.shape[:1], bool)
+    if ignore_iof_thr > 0 and gt_bboxes_ignore is not None:
+        iof = iof_xyxy(candidates, gt_bboxes_ignore)    # (P, Gi)
+        iof = jnp.where(gt_ignore_mask[None, :], iof, -1.0)
+        crowd = iof.max(axis=1) > ignore_iof_thr
+        eligible = eligible & ~crowd[None, :]
     overlaps = jnp.where(eligible, overlaps, -1.0)
 
     max_iou = overlaps.max(axis=0)                      # (P,)
@@ -69,5 +94,5 @@ def assign_max_iou(candidates, cand_valid, gt_bboxes, gt_mask,
 
     assigned = jnp.where(claimed, last_claim, argmax_gt).astype(jnp.int32)
     pos_all = (pos | claimed) & cand_valid
-    ignore = ignore & ~pos_all
+    ignore = (ignore | crowd) & ~pos_all
     return IoUAssignment(assigned, pos_all, ignore)

@@ -24,17 +24,16 @@ from kgdet_tpu.ops.nms import multiclass_nms_kp
 from kgdet_tpu.ops.points import offsets_to_coords, yx_to_xy
 
 
-def decode_detections(level_outs: List[Dict], level_points: Sequence,
-                      img_hw, scale_factor, cfg: TestConfig,
-                      num_keypts: int = 294):
-    """Decode head outputs into padded per-image detections.
+def decode_raw(level_outs: List[Dict], level_points: Sequence,
+               img_hw, scale_factor, cfg: TestConfig,
+               num_keypts: int = 294):
+    """Per-level top-k decode to original-image coordinates, NO NMS.
 
-    level_outs: per-level dicts ('cls'/'kpt'/'bbox', stacked (3, B, ...)).
-    img_hw: (B, 2) resized (pre-pad) image extents for clamping.
-    scale_factor: (B,) resize factor (original -> resized).
-
-    Returns dict with det_bboxes (B, M, 5), det_labels (B, M),
-    det_kpts (B, M, K*3), valid (B, M).
+    Returns (bboxes (B, N, 4), scores (B, N, C), kpts (B, N, K*3)) — the
+    reference's pre-NMS mlvl tensors (get_bboxes_single:825-890), exposed
+    separately so test-time augmentation can merge raw boxes across aug
+    variants before a single NMS (aug_test semantics,
+    reppoints_detector_kp.py:118-148).
     """
     mlvl_scores, mlvl_bboxes, mlvl_kpts = [], [], []
     B = level_outs[0]['cls'].shape[1]
@@ -91,7 +90,11 @@ def decode_detections(level_outs: List[Dict], level_points: Sequence,
     bboxes = bboxes / sf
     kpts = kpts.at[..., :2].set(kpts[..., :2] / sf[..., None])
     kpts = kpts.reshape(B, kpts.shape[1], num_keypts * 3)
+    return bboxes, scores, kpts
 
+
+def nms_detections(bboxes, scores, kpts, cfg: TestConfig):
+    """Batched multiclass NMS over raw decoded tensors -> padded dets."""
     def nms_one(b, s, k):
         return multiclass_nms_kp(
             b, s, k, cfg.score_thr, cfg.nms_iou_thr,
@@ -107,6 +110,23 @@ def decode_detections(level_outs: List[Dict], level_points: Sequence,
         'det_kpts': det_kpts,
         'valid': valid,
     }
+
+
+def decode_detections(level_outs: List[Dict], level_points: Sequence,
+                      img_hw, scale_factor, cfg: TestConfig,
+                      num_keypts: int = 294):
+    """Decode head outputs into padded per-image detections.
+
+    level_outs: per-level dicts ('cls'/'kpt'/'bbox', stacked (3, B, ...)).
+    img_hw: (B, 2) resized (pre-pad) image extents for clamping.
+    scale_factor: (B,) resize factor (original -> resized).
+
+    Returns dict with det_bboxes (B, M, 5), det_labels (B, M),
+    det_kpts (B, M, K*3), valid (B, M).
+    """
+    bboxes, scores, kpts = decode_raw(
+        level_outs, level_points, img_hw, scale_factor, cfg, num_keypts)
+    return nms_detections(bboxes, scores, kpts, cfg)
 
 
 def detections_to_per_class(dets, num_classes=13):

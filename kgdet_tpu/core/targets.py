@@ -102,24 +102,34 @@ def _targets_from_assignment(assigned, pos, ignore, valid, bboxes, labels,
 
 def max_iou_targets(candidates, cand_valid, gt_bboxes, gt_labels, gt_kpts,
                     gt_mask, pos_iou_thr=0.5, neg_iou_thr=0.4,
-                    min_pos_iou=0.0):
+                    min_pos_iou=0.0, gt_bboxes_ignore=None,
+                    gt_ignore_mask=None, ignore_iof_thr=-1.0):
     """Batched refine-stage targets via MaxIoU assignment over candidate boxes.
 
     candidates: (B, P, 4) decoded init boxes; other args as point_targets.
     Parity: point_target_kp with a MaxIoUAssigner cfg (serial/parallel refine
-    stage, reppoints_head_kp_serial.py:548-575).
+    stage, reppoints_head_kp_serial.py:548-575), including the crowd-region
+    IoF exclusion (max_iou_assigner.py:38-44).
     """
     from kgdet_tpu.core.iou_assign import assign_max_iou
 
-    def single(cand, valid, bboxes, labels, kpts, mask):
+    if gt_bboxes_ignore is None:
+        B = gt_bboxes.shape[0]
+        gt_bboxes_ignore = jnp.zeros((B, 1, 4), jnp.float32)
+        gt_ignore_mask = jnp.zeros((B, 1), bool)
+
+    def single(cand, valid, bboxes, labels, kpts, mask, ign, ign_mask):
         a = assign_max_iou(cand, valid, bboxes, mask,
-                           pos_iou_thr, neg_iou_thr, min_pos_iou)
+                           pos_iou_thr, neg_iou_thr, min_pos_iou,
+                           gt_bboxes_ignore=ign, gt_ignore_mask=ign_mask,
+                           ignore_iof_thr=ignore_iof_thr)
         return _targets_from_assignment(
             a.assigned_gt, a.pos_mask, a.ignore_mask, valid, bboxes, labels,
             kpts)
 
     outs = jax.vmap(single)(candidates, cand_valid, gt_bboxes, gt_labels,
-                            gt_kpts, gt_mask)
+                            gt_kpts, gt_mask, gt_bboxes_ignore,
+                            gt_ignore_mask)
     return PointTargets(*outs)
 
 

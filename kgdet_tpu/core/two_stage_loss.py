@@ -25,6 +25,14 @@ from kgdet_tpu.ops.nms import multiclass_nms_kp
 
 RCNN_TARGET_STDS = (0.1, 0.1, 0.2, 0.2)
 
+# Cascade R-CNN stage schedule (reference configs/cascade_rcnn_r50_fpn_1x:
+# rising assignment IoU, tightening delta stds, decaying stage loss weight)
+CASCADE_STAGE_IOUS = (0.5, 0.6, 0.7)
+CASCADE_STAGE_STDS = ((0.1, 0.1, 0.2, 0.2),
+                      (0.05, 0.05, 0.1, 0.1),
+                      (0.033, 0.033, 0.067, 0.067))
+CASCADE_STAGE_WEIGHTS = (1.0, 0.5, 0.25)
+
 
 def _random_quota_mask(rng, mask, quota):
     """Select up to `quota` True entries of `mask` uniformly at random."""
@@ -65,9 +73,18 @@ def bce_loss(logits, targets, weights, avg_factor):
     return (bce * weights).sum() / jnp.maximum(avg_factor, 1.0)
 
 
+def _batch_ignore(batch):
+    """(gt_bboxes_ignore, gt_ignore_mask) from the batch, or harmless
+    zero-region placeholders so vmapped assign signatures stay static."""
+    if 'gt_bboxes_ignore' in batch:
+        return batch['gt_bboxes_ignore'], batch['gt_ignore_mask']
+    B = batch['gt_bboxes'].shape[0]
+    return (jnp.zeros((B, 1, 4), jnp.float32), jnp.zeros((B, 1), bool))
+
+
 def rpn_loss(rpn_outs, anchors_per_level, valids_per_level, batch, rng,
              num_samples=256, pos_fraction=0.5, pos_iou_thr=0.7,
-             neg_iou_thr=0.3, min_pos_iou=0.3):
+             neg_iou_thr=0.3, min_pos_iou=0.3, ignore_iof_thr=-1.0):
     """Binary objectness + box regression over subsampled anchors."""
     anchors = jnp.concatenate(
         [jnp.asarray(a) for a in anchors_per_level], axis=0)
@@ -81,9 +98,11 @@ def rpn_loss(rpn_outs, anchors_per_level, valids_per_level, batch, rng,
         [o['bbox'][-1].astype(jnp.float32).reshape(B, -1, 4)
          for o in rpn_outs], axis=1)
 
-    def single(key, v, gts, mask):
+    def single(key, v, gts, mask, ign, ign_mask):
         a = assign_max_iou(anchors, v, gts, mask, pos_iou_thr, neg_iou_thr,
-                           min_pos_iou)
+                           min_pos_iou, gt_bboxes_ignore=ign,
+                           gt_ignore_mask=ign_mask,
+                           ignore_iof_thr=ignore_iof_thr)
         neg = v & ~a.pos_mask & ~a.ignore_mask
         pos_sel, neg_sel = sample_pos_neg(
             key, a.pos_mask, neg, num_samples, pos_fraction)
@@ -94,8 +113,9 @@ def rpn_loss(rpn_outs, anchors_per_level, valids_per_level, batch, rng,
         return cls_t, cls_w, deltas, reg_w
 
     keys = jax.random.split(rng, B)
+    ign, ign_mask = _batch_ignore(batch)
     cls_t, cls_w, deltas, reg_w = jax.vmap(single)(
-        keys, valid, batch['gt_bboxes'], batch['gt_mask'])
+        keys, valid, batch['gt_bboxes'], batch['gt_mask'], ign, ign_mask)
     avg = cls_w.sum()
     l_cls = bce_loss(cls, cls_t, cls_w, avg)
     l_reg = smooth_l1_loss(reg, deltas, reg_w, beta=1.0 / 9.0,
@@ -106,7 +126,9 @@ def rpn_loss(rpn_outs, anchors_per_level, valids_per_level, batch, rng,
 def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
                           rng, num_classes, num_samples=512,
                           pos_fraction=0.25, pos_iou_thr=0.5,
-                          neg_iou_thr=0.5, sampler='random'):
+                          neg_iou_thr=0.5, sampler='random',
+                          ignore_iof_thr=-1.0,
+                          target_stds=RCNN_TARGET_STDS):
     """RCNN stage: assign proposals, subsample, CE + per-class smooth-L1.
 
     sampler: 'random' | 'ohem' (hard negatives by background CE loss).
@@ -121,24 +143,26 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
     else:
         neg_hardness = jnp.zeros((B, R))
 
-    def single(key, props, v, gts, labels, mask, hardness):
+    def single(key, props, v, gts, labels, mask, hardness, ign, ign_mask):
         a = assign_max_iou(props, v, gts, mask, pos_iou_thr, neg_iou_thr,
-                           0.0)
+                           0.0, gt_bboxes_ignore=ign,
+                           gt_ignore_mask=ign_mask,
+                           ignore_iof_thr=ignore_iof_thr)
         neg = v & ~a.pos_mask & ~a.ignore_mask
         pos_sel, neg_sel = sample_pos_neg(
             key, a.pos_mask, neg, num_samples, pos_fraction,
             neg_priority=hardness if sampler == 'ohem' else None)
         lab = jnp.where(pos_sel, labels[a.assigned_gt], 0)   # 0 = background
         cls_w = (pos_sel | neg_sel).astype(jnp.float32)
-        deltas = bbox2delta(props, gts[a.assigned_gt],
-                            stds=RCNN_TARGET_STDS)
+        deltas = bbox2delta(props, gts[a.assigned_gt], stds=target_stds)
         reg_w = pos_sel.astype(jnp.float32)
         return lab.astype(jnp.int32), cls_w, deltas, reg_w, a.assigned_gt
 
     keys = jax.random.split(rng, B)
+    ign, ign_mask = _batch_ignore(batch)
     labels, cls_w, deltas, reg_w, assigned_gt = jax.vmap(single)(
         keys, proposals, prop_valid, batch['gt_bboxes'],
-        batch['gt_labels'], batch['gt_mask'], neg_hardness)
+        batch['gt_labels'], batch['gt_mask'], neg_hardness, ign, ign_mask)
 
     avg = jnp.maximum(cls_w.sum(), 1.0)
     logp = jax.nn.log_softmax(roi_cls, axis=-1)
@@ -159,12 +183,15 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
 def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
     """Total two-stage loss + logs (mask term when the model emits masks)."""
     k1, k2 = jax.random.split(rng)
+    iof_thr = getattr(cfg.assigner, 'ignore_iof_thr', -1.0)
     l_rpn_cls, l_rpn_reg = rpn_loss(
-        fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1)
+        fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1,
+        ignore_iof_thr=iof_thr)
     l_cls, l_reg, aux = rcnn_targets_and_loss(
         fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
         fwd['roi_reg'], batch, k2, cfg.head.num_classes,
-        sampler=getattr(cfg, 'rcnn_sampler', 'random'))
+        sampler=getattr(cfg, 'rcnn_sampler', 'random'),
+        ignore_iof_thr=iof_thr)
     total = l_rpn_cls + l_rpn_reg + l_cls + l_reg
     logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg,
             'loss_cls': l_cls, 'loss_bbox': l_reg}
@@ -179,6 +206,66 @@ def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
         total = total + l_mask
         logs['loss_mask'] = l_mask
     return total, logs
+
+
+def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
+    """RPN loss + per-stage RCNN losses with the cascade IoU/std/weight
+    schedule (parity: cascade_rcnn.py forward_train stage loop)."""
+    stages = fwd['stages']
+    keys = jax.random.split(rng, 1 + len(stages))
+    iof_thr = getattr(cfg.assigner, 'ignore_iof_thr', -1.0)
+    l_rpn_cls, l_rpn_reg = rpn_loss(
+        fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, keys[0],
+        ignore_iof_thr=iof_thr)
+    total = l_rpn_cls + l_rpn_reg
+    logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg}
+    for i, (st, key) in enumerate(zip(stages, keys[1:])):
+        iou = CASCADE_STAGE_IOUS[i]
+        l_cls, l_reg, _ = rcnn_targets_and_loss(
+            st['proposals'], fwd['proposal_valid'], st['roi_cls'],
+            st['roi_reg'], batch, key, cfg.head.num_classes,
+            pos_iou_thr=iou, neg_iou_thr=iou,
+            sampler=getattr(cfg, 'rcnn_sampler', 'random'),
+            ignore_iof_thr=iof_thr, target_stds=CASCADE_STAGE_STDS[i])
+        w = CASCADE_STAGE_WEIGHTS[i]
+        total = total + w * (l_cls + l_reg)
+        logs[f'loss_cls_s{i}'] = l_cls
+        logs[f'loss_bbox_s{i}'] = l_reg
+    return total, logs
+
+
+def decode_cascade_detections(fwd, img_hw, scale_factor, test_cfg,
+                              num_classes):
+    """Cascade decode: last-stage class-agnostic boxes, stage-averaged
+    per-class scores (parity: cascade_rcnn.py simple_test ms_scores)."""
+    stages = fwd['stages']
+    valid = fwd['proposal_valid']
+    last = stages[-1]
+    B, R = last['proposals'].shape[:2]
+    scores = sum(jax.nn.softmax(s['roi_cls'].astype(jnp.float32), axis=-1)
+                 for s in stages) / len(stages)
+    fg_scores = jnp.where(valid[..., None], scores[..., 1:], 0.0)
+    boxes = delta2bbox(last['proposals'],
+                       last['roi_reg'].astype(jnp.float32),
+                       stds=CASCADE_STAGE_STDS[len(stages) - 1])
+    w = img_hw[:, 1][:, None]
+    h = img_hw[:, 0][:, None]
+    boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                       jnp.clip(boxes[..., 1], 0, h),
+                       jnp.clip(boxes[..., 2], 0, w),
+                       jnp.clip(boxes[..., 3], 0, h)],
+                      axis=-1) / scale_factor[:, None, None]
+
+    def nms_one(b, s):
+        return multiclass_nms_kp(
+            b, s, jnp.zeros((b.shape[0], 3), b.dtype), test_cfg.score_thr,
+            test_cfg.nms_iou_thr, max_per_class=test_cfg.max_per_class,
+            max_per_img=test_cfg.max_per_img)
+
+    det_bboxes, det_labels, det_kpts, dvalid = jax.vmap(nms_one)(
+        boxes, fg_scores)
+    return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
+            'det_kpts': det_kpts, 'valid': dvalid}
 
 
 def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,

@@ -103,13 +103,15 @@ class DeepFashion2Dataset:
     # ------------------------------------------------------------- parsing
     def parse_annotations(self, img_id: int):
         """GT arrays for one image: boxes xyxy-inclusive, 1-based labels,
-        (N, 294, 3) keypoints."""
-        bboxes, labels, kpts = [], [], []
+        (N, 294, 3) keypoints, plus crowd regions as (Ni, 4) ignore boxes
+        (reference coco.py:98-140 gt_bboxes_ignore)."""
+        bboxes, labels, kpts, ignore = [], [], [], []
         for ann in self.coco.anns_for_img(img_id):
-            if ann.get('iscrowd', 0):
-                continue
             x1, y1, w, h = ann['bbox']
             if ann.get('area', w * h) <= 0 or w < 1 or h < 1:
+                continue
+            if ann.get('iscrowd', 0):
+                ignore.append([x1, y1, x1 + w - 1, y1 + h - 1])
                 continue
             bboxes.append([x1, y1, x1 + w - 1, y1 + h - 1])
             labels.append(self.cat2label[ann['category_id']])
@@ -119,12 +121,14 @@ class DeepFashion2Dataset:
             else:
                 kp = kp.reshape(-1, 3)
             kpts.append(kp)
+        ignore_arr = (np.asarray(ignore, np.float32) if ignore
+                      else np.zeros((0, 4), np.float32))
         if not bboxes:
             return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int64),
-                    np.zeros((0, NUM_KEYPOINTS, 3), np.float32))
+                    np.zeros((0, NUM_KEYPOINTS, 3), np.float32), ignore_arr)
         return (np.asarray(bboxes, np.float32),
                 np.asarray(labels, np.int64),
-                np.stack(kpts).astype(np.float32))
+                np.stack(kpts).astype(np.float32), ignore_arr)
 
     def load_image(self, record: ImageRecord) -> np.ndarray:
         path = os.path.join(self.cfg.img_prefix, record.filename)
@@ -140,16 +144,60 @@ class DeepFashion2Dataset:
             return canvases[0]
         return canvases[0] if flag == 1 else canvases[1]
 
+    # ---------------------------------------------------------- extra augs
+    _photo_aug = None
+    _expand_aug = None
+    _crop_aug = None
+
+    def apply_extra_augs(self, img, bboxes, labels, kpts, ignore, rng):
+        """Config-driven extra augmentations on the raw BGR image and
+        original-scale annotations, in the reference's order
+        (custom.py:141-144 + extra_aug.py: photometric -> expand -> crop).
+        Ignore boxes ride through the geometric augs (the reference drops
+        them here; keeping them is strictly more correct)."""
+        from kgdet_tpu.data.transforms import (
+            Expand, PhotoMetricDistortion, RandomCrop)
+
+        if self.cfg.photo_metric_distortion:
+            if DeepFashion2Dataset._photo_aug is None:
+                DeepFashion2Dataset._photo_aug = PhotoMetricDistortion()
+            img = self._photo_aug(img, rng)
+        if self.cfg.expand and len(bboxes):
+            if DeepFashion2Dataset._expand_aug is None:
+                DeepFashion2Dataset._expand_aug = Expand()
+            img, bboxes, kpts, ignore = self._expand_aug(
+                img, bboxes, kpts, rng, ignore=ignore)
+        if self.cfg.random_crop and len(bboxes):
+            if DeepFashion2Dataset._crop_aug is None:
+                DeepFashion2Dataset._crop_aug = RandomCrop()
+            img, bboxes, labels, kpts, ignore = self._crop_aug(
+                img, bboxes, labels, kpts, rng, ignore=ignore)
+        return img, bboxes, labels, kpts, ignore
+
     # ------------------------------------------------------------ train path
     def prepare_train(self, idx: int, rng: np.random.RandomState) -> Dict:
         record = self.records[idx]
         img = self.load_image(record)
-        bboxes, labels, kpts = self.parse_annotations(record.img_id)
+        bboxes, labels, kpts, ignore = self.parse_annotations(record.img_id)
 
-        img, sf = imrescale(img, self.cfg.img_scale)
+        if (self.cfg.photo_metric_distortion or self.cfg.expand
+                or self.cfg.random_crop):
+            img, bboxes, labels, kpts, ignore = self.apply_extra_augs(
+                img, bboxes, labels, kpts, ignore, rng)
+
+        # geometric augs can flip the aspect class; keep the image inside
+        # its flag's canvas bucket (batch grouping needs a static canvas)
+        canvas = self.canvas_for_flag(self.flags[idx])
+        from kgdet_tpu.data.transforms import keep_ratio_scale, rescale_size
+        h0, w0 = img.shape[:2]
+        sf = keep_ratio_scale(h0, w0, self.cfg.img_scale)
+        sf = min(sf, canvas[0] / h0, canvas[1] / w0)
+        nh, nw = rescale_size(h0, w0, sf)
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         rh, rw = img.shape[:2]
         img = imnormalize(img)
         bboxes = bboxes * sf
+        ignore = ignore * sf
         kpts = kpts.copy()
         vis = kpts[..., 2] > 0
         kpts[..., 0] = np.where(vis, kpts[..., 0] * sf, kpts[..., 0])
@@ -160,11 +208,12 @@ class DeepFashion2Dataset:
             img = img[:, ::-1]
             bboxes = flip_bboxes(bboxes, rw)
             kpts = flip_keypoints(kpts, labels, rw)
+            if len(ignore):
+                ignore = flip_bboxes(ignore, rw)
 
         if self.cfg.group_mode:
             kpts = apply_keypoint_groups(kpts)
 
-        canvas = self.canvas_for_flag(self.flags[idx])
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)
 
         G = self.cfg.max_gts
@@ -177,6 +226,12 @@ class DeepFashion2Dataset:
         out_labels[:n] = labels[:n]
         out_kpts[:n] = kpts[:n]
         out_mask[:n] = True
+        Gi = self.cfg.max_ignore
+        ni = min(len(ignore), Gi)
+        out_ignore = np.zeros((Gi, 4), np.float32)
+        out_ignore_mask = np.zeros((Gi,), bool)
+        out_ignore[:ni] = ignore[:ni]
+        out_ignore_mask[:ni] = True
         sample = {
             'image': img.astype(np.float32),
             'valid_hw': np.array([rh, rw], np.int32),
@@ -184,6 +239,8 @@ class DeepFashion2Dataset:
             'gt_labels': out_labels,
             'gt_kpts': out_kpts,
             'gt_mask': out_mask,
+            'gt_bboxes_ignore': out_ignore,
+            'gt_ignore_mask': out_ignore_mask,
         }
         if self.cfg.with_mask:
             sample['gt_masks'] = self.rasterize_masks(
@@ -223,18 +280,24 @@ class DeepFashion2Dataset:
         return out
 
     # ------------------------------------------------------------- test path
-    def prepare_test(self, idx: int) -> Dict:
+    def prepare_test(self, idx: int, flip: bool = False,
+                     img_scale=None) -> Dict:
+        """Test sample; flip/img_scale serve multi-scale/flip TTA variants
+        (reference custom.py prepare_test_img:316-381)."""
         record = self.records[idx]
         img = self.load_image(record)
-        img, sf = imrescale(img, self.cfg.img_scale)
+        img, sf = imrescale(img, img_scale or self.cfg.img_scale)
         rh, rw = img.shape[:2]
         img = imnormalize(img)
+        if flip:
+            img = img[:, ::-1]
         canvas = self.canvas_for_flag(self.flags[idx])
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)
         return {
             'image': img.astype(np.float32),
             'img_hw': np.array([rh, rw], np.float32),
             'scale_factor': np.float32(sf),
+            'flipped': np.bool_(flip),
             'img_id': record.img_id,
         }
 

@@ -146,9 +146,11 @@ class Expand:
         self.mean = mean if not to_rgb else mean[::-1]
         self.min_ratio, self.max_ratio = ratio_range
 
-    def __call__(self, img, boxes, kpts, rng: np.random.RandomState):
+    def __call__(self, img, boxes, kpts, rng: np.random.RandomState,
+                 ignore=None):
         if rng.randint(2):
-            return img, boxes, kpts
+            return (img, boxes, kpts) if ignore is None else \
+                (img, boxes, kpts, ignore)
         h, w, c = img.shape
         ratio = rng.uniform(self.min_ratio, self.max_ratio)
         canvas = np.empty((int(h * ratio), int(w * ratio), c), img.dtype)
@@ -162,7 +164,10 @@ class Expand:
             vis = kpts[..., 2] > 0
             kpts[..., 0] = np.where(vis, kpts[..., 0] + left, kpts[..., 0])
             kpts[..., 1] = np.where(vis, kpts[..., 1] + top, kpts[..., 1])
-        return canvas, boxes, kpts
+        if ignore is None:
+            return canvas, boxes, kpts
+        ignore = ignore + np.tile((left, top), 2) if len(ignore) else ignore
+        return canvas, boxes, kpts, ignore
 
 
 class RandomCrop:
@@ -172,12 +177,14 @@ class RandomCrop:
         self.sample_mode = (1, *min_ious, 0)
         self.min_crop_size = min_crop_size
 
-    def __call__(self, img, boxes, labels, kpts, rng: np.random.RandomState):
+    def __call__(self, img, boxes, labels, kpts, rng: np.random.RandomState,
+                 ignore=None):
         h, w, _ = img.shape
         while True:
             mode = self.sample_mode[rng.randint(len(self.sample_mode))]
             if mode == 1:
-                return img, boxes, labels, kpts
+                return (img, boxes, labels, kpts) if ignore is None else \
+                    (img, boxes, labels, kpts, ignore)
             min_iou = mode
             for _ in range(50):
                 new_w = rng.uniform(self.min_crop_size * w, w)
@@ -211,7 +218,17 @@ class RandomCrop:
                               (kpts[..., 1] >= 0) &
                               (kpts[..., 1] < patch[3] - patch[1]))
                     kpts[..., 2] = np.where(inside, kpts[..., 2], 0)
-                return img, boxes, labels, kpts
+                if ignore is None:
+                    return img, boxes, labels, kpts
+                if len(ignore):
+                    ignore = ignore.copy()
+                    ignore[:, 2:] = ignore[:, 2:].clip(max=patch[2:])
+                    ignore[:, :2] = ignore[:, :2].clip(min=patch[:2])
+                    ignore -= np.tile(patch[:2], 2)
+                    keep = ((ignore[:, 2] > ignore[:, 0]) &
+                            (ignore[:, 3] > ignore[:, 1]))
+                    ignore = ignore[keep]
+                return img, boxes, labels, kpts, ignore
 
 
 def _iou_xyxy(a, b):

@@ -28,13 +28,18 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
     """One jitted predict per canvas bucket (static shapes)."""
     fns = {}
     for canvas in canvases:
-        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn'):
-            from kgdet_tpu.core.two_stage_loss import decode_rcnn_detections
+        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
+                                 'cascade_rcnn'):
+            from kgdet_tpu.core.two_stage_loss import (
+                decode_cascade_detections, decode_rcnn_detections)
+            decode = (decode_cascade_detections
+                      if cfg.detector_type == 'cascade_rcnn'
+                      else decode_rcnn_detections)
 
-            def predict(variables, batch):
+            def predict(variables, batch, decode=decode):
                 fwd = model.apply(variables, batch['image'],
                                   batch['img_hw'], train=False)
-                return decode_rcnn_detections(
+                return decode(
                     fwd, batch['img_hw'], batch['scale_factor'], cfg.test,
                     num_classes=cfg.head.num_classes)
 
@@ -83,6 +88,109 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
 
         fns[tuple(canvas)] = jax.jit(predict)
     return fns
+
+
+class TTAVariant:
+    """Dataset view emitting one (img_scale, flip) test variant
+    (reference custom.py prepare_test_img:316-381 builds these inline)."""
+
+    def __init__(self, base, img_scale=None, flip=False):
+        self.base = base
+        self.img_scale = tuple(img_scale) if img_scale else None
+        self.flip = flip
+        self.flags = base.flags
+
+    def __len__(self):
+        return len(self.base)
+
+    def prepare_test(self, idx):
+        return self.base.prepare_test(idx, flip=self.flip,
+                                      img_scale=self.img_scale)
+
+
+def make_raw_predict_fns(model, cfg: KGDetConfig, canvases):
+    """Per-canvas jitted pre-NMS decode (raw boxes/scores) for TTA."""
+    from kgdet_tpu.core.postprocess import decode_raw
+    fns = {}
+    for canvas in canvases:
+        grids = build_level_geometry(cfg, canvas)
+
+        def predict(variables, batch, grids=grids):
+            outs = model.apply(variables, batch['image'])
+            return decode_raw(outs, grids, batch['img_hw'],
+                              batch['scale_factor'], cfg.test,
+                              num_keypts=cfg.head.num_keypts)
+
+        fns[tuple(canvas)] = jax.jit(predict)
+    return fns
+
+
+def run_inference_tta(model, variables, cfg: KGDetConfig, dataset,
+                      scales=None, flip=True, batch_size=None,
+                      verbose: bool = True):
+    """Multi-scale/flip TTA over a dataset: each image's raw decoded boxes
+    are merged across variants BEFORE one multiclass NMS — the reference's
+    aug_test merge order (reppoints_detector_kp.py:93-148). Boxes only;
+    keypoints are zeroed like the reference's aug path.
+    """
+    from functools import partial
+
+    from kgdet_tpu.core.postprocess import nms_detections
+
+    scales = [tuple(s) for s in scales] if scales \
+        else [tuple(cfg.val_data.img_scale)]
+    variants = [(s, f) for s in scales
+                for f in ((False, True) if flip else (False,))]
+    fns = make_raw_predict_fns(model, cfg, cfg.val_data.canvas_hw)
+    per_img_boxes: Dict[int, list] = {}
+    per_img_scores: Dict[int, list] = {}
+    t0 = time.time()
+    for scale, f in variants:
+        view = TTAVariant(dataset, img_scale=scale, flip=f)
+        loader = DataLoader(
+            view, batch_size or max(cfg.val_data.batch_size, 1),
+            train=False, num_workers=2, num_shards=jax.process_count(),
+            shard_id=jax.process_index())
+        seen = set()
+        for batch in loader:
+            canvas = tuple(batch['image'].shape[1:3])
+            feed = {'image': jnp.asarray(batch['image']),
+                    'img_hw': jnp.asarray(batch['img_hw']),
+                    'scale_factor': jnp.asarray(batch['scale_factor'])}
+            bboxes, scores, _ = fns[canvas](variables, feed)
+            bb = np.asarray(bboxes)
+            sc = np.asarray(scores)
+            for i, img_id in enumerate(batch['img_id'].tolist()):
+                if img_id in seen:
+                    continue
+                seen.add(img_id)
+                b = bb[i]
+                if f:
+                    # flip-back: x' = (w_resized - 1)/sf - x, swap x1/x2
+                    # (bbox_mapping_back: flip in resized coords, /sf)
+                    lim = (batch['img_hw'][i][1] - 1) / \
+                        batch['scale_factor'][i]
+                    b = b.copy()
+                    b[:, [0, 2]] = lim - b[:, [2, 0]]
+                per_img_boxes.setdefault(img_id, []).append(b)
+                per_img_scores.setdefault(img_id, []).append(sc[i])
+        if verbose:
+            print(f'[tta] scale={scale} flip={f}: '
+                  f'{len(seen)} imgs, {time.time() - t0:.1f}s', flush=True)
+
+    nms_fn = jax.jit(partial(nms_detections, cfg=cfg.test))
+    K3 = cfg.head.num_keypts * 3
+    results: Dict[int, tuple] = {}
+    for img_id, blist in per_img_boxes.items():
+        boxes = jnp.asarray(np.concatenate(blist))[None]
+        scores = jnp.asarray(np.concatenate(per_img_scores[img_id]))[None]
+        kpts = jnp.zeros(boxes.shape[:2] + (K3,), boxes.dtype)
+        dets = nms_fn(boxes, scores, kpts)
+        v = np.asarray(dets['valid'][0])
+        results[img_id] = (np.asarray(dets['det_bboxes'][0])[v],
+                           np.asarray(dets['det_labels'][0])[v],
+                           np.asarray(dets['det_kpts'][0])[v])
+    return results
 
 
 def run_inference(model, variables, cfg: KGDetConfig, loader: DataLoader,
@@ -224,12 +332,26 @@ def _write_segm_json(results, img_ids, dataset, path):
 
 def run_eval(model, variables, cfg: KGDetConfig, dataset,
              batch_size: Optional[int] = None, out_prefix=None,
-             num_workers: int = 2, verbose: bool = True):
-    """Full inference + evaluation pipeline; returns the AP stats dict."""
-    loader = DataLoader(
-        dataset, batch_size or max(cfg.val_data.batch_size, 1), train=False,
-        num_workers=num_workers,
-        num_shards=jax.process_count(), shard_id=jax.process_index())
-    results = run_inference(model, variables, cfg, loader, verbose=verbose)
+             num_workers: int = 2, verbose: bool = True,
+             tta: bool = False, tta_scales=None, tta_flip: bool = True):
+    """Full inference + evaluation pipeline; returns the AP stats dict.
+
+    tta=True runs dataset-level multi-scale/flip test-time augmentation
+    (merge raw boxes across variants, one NMS; boxes only).
+    """
+    if tta:
+        results = run_inference_tta(
+            model, variables, cfg, dataset, scales=tta_scales,
+            flip=tta_flip, batch_size=batch_size, verbose=verbose)
+        iou_types = ('bbox',)
+    else:
+        loader = DataLoader(
+            dataset, batch_size or max(cfg.val_data.batch_size, 1),
+            train=False, num_workers=num_workers,
+            num_shards=jax.process_count(), shard_id=jax.process_index())
+        results = run_inference(model, variables, cfg, loader,
+                                verbose=verbose)
+        iou_types = ('bbox', 'keypoints')
     results = gather_results_across_processes(results)
-    return evaluate_results(results, dataset, out_prefix, verbose=verbose)
+    return evaluate_results(results, dataset, out_prefix,
+                            iou_types=iou_types, verbose=verbose)

@@ -101,7 +101,8 @@ class KpRepBlock(nn.Module):
         from kgdet_tpu.ops.deform import absolute_positions, \
             use_pallas_sampling
         pos = absolute_positions(offs, H, W)
-        if use_pallas_sampling((H, W, 2 * C), cls_feat.dtype.itemsize) \
+        if use_pallas_sampling((H, W, 2 * C), cls_feat.dtype.itemsize,
+                               allow_tiling=False) \
                 and C % 128 == 0:
             from kgdet_tpu.ops.pallas_deform import deform_sample_split
             cols = deform_sample_split(cls_feat, pts_feat, pos, taps)

@@ -162,6 +162,90 @@ class ConvFCBBoxHead(nn.Module):
         return cls, reg
 
 
+class CascadeRCNN(nn.Module):
+    """Cascade R-CNN: shared RPN + N RoI box heads with rising IoU regimes.
+
+    Parity surface: reference mmdet/models/detectors/cascade_rcnn.py — each
+    stage's class-agnostic deltas refine the previous stage's boxes
+    (detached, like the reference's no-grad refine_bboxes), stage targets
+    use IoU thresholds 0.5/0.6/0.7 with tightening delta stds, and test-time
+    scores average the per-stage softmax at each stage's own rois.
+    """
+    cfg: Any                         # KGDetConfig
+    num_stages: int = 3
+    num_proposals_train: int = 512
+    num_proposals_test: int = 1000
+
+    @nn.compact
+    def __call__(self, images, img_hw=None, train: bool = True):
+        from kgdet_tpu.core.two_stage_loss import CASCADE_STAGE_STDS
+        from kgdet_tpu.models.fpn import FPN
+        from kgdet_tpu.models.resnet import ResNet
+        from kgdet_tpu.ops.anchors import grid_anchors
+
+        if img_hw is None:
+            img_hw = jnp.tile(
+                jnp.asarray([[images.shape[1], images.shape[2]]],
+                            jnp.float32), (images.shape[0], 1))
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
+            else jnp.float32
+        backbone = ResNet(depth=cfg.backbone.depth, dtype=dtype,
+                          name='backbone')
+        neck = FPN(in_channels=cfg.neck.in_channels,
+                   out_channels=cfg.neck.out_channels,
+                   start_level=cfg.neck.start_level,
+                   num_outs=cfg.neck.num_outs, add_extra_convs=False,
+                   select_out=None, norm=cfg.neck.norm,
+                   gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
+        rpn = RPNHead(in_channels=cfg.neck.out_channels,
+                      feat_channels=cfg.neck.out_channels,
+                      num_anchors=len(cfg.head.anchor_ratios), dtype=dtype,
+                      name='rpn_head')
+
+        feats = neck(backbone(images))
+        rpn_outs = rpn(feats)
+        strides = cfg.head.point_strides
+        anchors = [grid_anchors(
+            base_anchors(s, [8.0], cfg.head.anchor_ratios),
+            f.shape[1], f.shape[2], s)
+            for f, s in zip(feats, strides)]
+        n_prop = (self.num_proposals_train if train
+                  else self.num_proposals_test)
+        proposals, prop_scores, prop_valid = rpn_proposals(
+            rpn_outs, anchors, img_hw, max_num=n_prop)
+        boxes = jax.lax.stop_gradient(proposals)
+
+        feats_d = [f.astype(dtype) for f in feats]
+        w = img_hw[:, 1][:, None]
+        h = img_hw[:, 0][:, None]
+        stages = []
+        for i in range(self.num_stages):
+            roi_feats = extract_roi_feats(feats_d, strides, boxes,
+                                          prop_valid)
+            head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
+                                  in_channels=cfg.neck.out_channels,
+                                  reg_class_agnostic=True, dtype=dtype,
+                                  name=f'bbox_head_{i}')
+            roi_cls, roi_reg = head(roi_feats)
+            stages.append(dict(proposals=boxes, roi_cls=roi_cls,
+                               roi_reg=roi_reg))
+            if i < self.num_stages - 1:
+                refined = delta2bbox(boxes,
+                                     roi_reg.astype(jnp.float32),
+                                     stds=CASCADE_STAGE_STDS[i])
+                refined = jnp.stack(
+                    [jnp.clip(refined[..., 0], 0, w),
+                     jnp.clip(refined[..., 1], 0, h),
+                     jnp.clip(refined[..., 2], 0, w),
+                     jnp.clip(refined[..., 3], 0, h)], axis=-1)
+                boxes = jax.lax.stop_gradient(refined)
+
+        return dict(rpn_outs=rpn_outs, anchors=anchors,
+                    proposals=proposals, proposal_scores=prop_scores,
+                    proposal_valid=prop_valid, stages=stages)
+
+
 class FasterRCNN(nn.Module):
     """backbone -> FPN -> RPN + RoI box head (joint forward for training).
 

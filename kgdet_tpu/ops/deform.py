@@ -108,16 +108,24 @@ def absolute_positions(rel_offsets_yx, H, W):
         + centers[None, :, None, :]
 
 
-def use_pallas_sampling(shape, itemsize, platform=None):
-    """Pallas path gate: TPU backend, lane-aligned channels, map in VMEM."""
+def use_pallas_sampling(shape, itemsize, platform=None, allow_tiling=True):
+    """Pallas path gate: TPU backend, lane-aligned channels, map slabs fit
+    the kernel VMEM budgets.
+
+    With allow_tiling (the deform_sample path), large maps are accepted as
+    long as one (HW, 128)-lane slice fits — the kernel channel-tiles them.
+    Without it (the untiled column-split kernel), the whole map must fit.
+    """
     import os
     if os.environ.get('KGDET_DISABLE_PALLAS'):
         return False
     H, W, C = shape
     if C % 128 != 0:
         return False
-    # VMEM budget: resident map + double-buffered (TP, K, C) output blocks
-    if H * W * C * itemsize > 3 * 1024 * 1024:
+    from kgdet_tpu.ops.pallas_deform import slice_tiles
+    S = C // 128
+    st = slice_tiles(H * W, S, itemsize)
+    if st is None or (not allow_tiling and st != S):
         return False
     if platform is None:
         try:

@@ -12,10 +12,19 @@ Index/weight preparation (floor/frac/clamping, out-of-bounds zeroing) runs in
 XLA on small (B, P, K) tensors; the kernel is a pure weighted-gather.
 
 Backward is also a Pallas kernel (_bwd_kernel): the feature gradient is a
-scatter-accumulate into a VMEM-resident gradient map and the per-corner
-contraction scalars s_ij = <g, feat[corner_ij]> for the position gradient
-are emitted by the same tap walk; XLA combines them with the analytic
-bilinear-weight derivatives.
+scatter-accumulate into a VMEM-resident gradient map, and the position
+gradient is produced by the same tap walk — the kernel loads the four
+corner rows (already VMEM-resident), forms the analytic coordinate
+derivative vectors, and reduces them against the cotangent to per-tap
+(grad_y, grad_x) scalars. No XLA patch re-gather on the backward path
+(the CUDA analog is the col2im_coord kernel,
+deform_conv_cuda_kernel.cu:145-188,279-465).
+
+Maps too large for VMEM are channel-tiled: the grid gains a lane-slice
+dimension, each (HW, slice, 128) feature slab stays resident across the
+pixel-tile sweep, and per-slice position-gradient partials are summed in
+XLA. This keeps the serial/parallel heads' stride-8/16 levels on the
+Pallas path instead of falling back to the XLA gather.
 
 Parity: CUDA deformable_im2col (reference deform_conv_cuda_kernel.cu:84-245).
 """
@@ -31,6 +40,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 TP = 16          # pixels per grid step (out block 2.7MB bf16 double-buffered)
+
+# VMEM budgets for the resident feature slab. Forward keeps one slab;
+# backward keeps the slab plus an f32 gradient slab of the same extent.
+FWD_SLAB_BUDGET = 6 * 1024 * 1024
+BWD_SLAB_BUDGET = 13 * 1024 * 1024
+
+
+def slice_tiles(HW: int, S: int, itemsize: int):
+    """Largest lane-slice count per grid step (divisor of S) whose resident
+    slabs fit the fwd/bwd VMEM budgets; None if even one slice is too big."""
+    for st in range(S, 0, -1):
+        if S % st:
+            continue
+        slab = HW * st * LANE * itemsize
+        if slab <= FWD_SLAB_BUDGET and \
+                HW * st * LANE * (itemsize + 4) <= BWD_SLAB_BUDGET:
+            return st
+    return None
 
 
 def _prep_indices(pos_yx, H, W):
@@ -100,12 +127,17 @@ def deform_sample_pallas(feat, pos_yx):
     """Pallas forward of bilinear sampling at absolute positions.
 
     feat: (B, H, W, C) with C a multiple of 128; pos_yx: (B, P, K, 2).
-    Returns (B, P, K, C) in feat.dtype.
+    Returns (B, P, K, C) in feat.dtype. Maps larger than the VMEM slab
+    budget are channel-tiled: the grid gains a lane-slice dimension and
+    each slab stays resident across the inner pixel-tile sweep.
     """
     B, H, W, C = feat.shape
     _, P, K, _ = pos_yx.shape
     assert C % LANE == 0, C
     S = C // LANE
+    st = slice_tiles(H * W, S, feat.dtype.itemsize)
+    assert st is not None, feat.shape
+    n_s = S // st
 
     starts, w4 = _prep_indices(pos_yx, H, W)
     P_pad = -(-P // TP) * TP
@@ -121,22 +153,35 @@ def deform_sample_pallas(feat, pos_yx):
     feat_r = feat.reshape(B, H * W, S, LANE)
     n_pt = P_pad // TP
 
-    out = pl.pallas_call(
-        functools.partial(_sample_kernel, K=K, n_lane_tiles=S),
-        out_shape=jax.ShapeDtypeStruct((B, P_pad, K, S, LANE), feat.dtype),
-        grid=(B, n_pt),
-        in_specs=[
-            pl.BlockSpec((1, 1, TP, K * 2), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TP, K * 4), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H * W, S, LANE), lambda b, t: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TP, K, S, LANE),
-                               lambda b, t: (b, t, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(starts, w4, feat_r)
+    def run_slice(feat_slab):
+        """One pallas_call over an (B, HW, st, LANE) channel slab. Mosaic
+        requires the trailing block dims to equal the array dims, so
+        tiling is expressed as one call per slab (XLA slices are cheap
+        relative to the gather work)."""
+        return pl.pallas_call(
+            functools.partial(_sample_kernel, K=K, n_lane_tiles=st),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, P_pad, K, st, LANE), feat.dtype),
+            grid=(B, n_pt),
+            in_specs=[
+                pl.BlockSpec((1, 1, TP, K * 2), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, TP, K * 4), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, H * W, st, LANE), lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TP, K, st, LANE),
+                                   lambda b, t: (b, t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(starts, w4, feat_slab)
+
+    if n_s == 1:
+        out = run_slice(feat_r)
+    else:
+        out = jnp.concatenate(
+            [run_slice(feat_r[:, :, s * st:(s + 1) * st])
+             for s in range(n_s)], axis=3)
     out = out.reshape(B, P_pad, K, C)
     return out[:, :P] if P_pad != P else out
 
@@ -254,14 +299,58 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
     return result
 
 
-def _bwd_kernel(starts_ref, w_ref, g_ref, gfeat_ref, *, K, n_pt):
-    """Backward feature-grad: scatter-accumulate w_ij * g into a
-    VMEM-resident gradient map.
+def _prep_indices_bwd(pos_yx, H, W):
+    """Row starts + per-axis weights and coordinate derivatives.
 
-    gfeat_ref block index is constant over the p-tile grid dimension, so
-    Mosaic keeps it resident: zero at the first tile, accumulate across
-    tiles, flushed to HBM when the batch index changes. (The position
-    gradient is computed in XLA from an einsum over gathered patches.)
+    Returns starts (B, P, K, 2) int32 and wd8 (B, P, K, 8) f32 laid out
+    (wy0, wy1, wx0, wx1, dwy0, dwy1, dwx0, dwx1). The d-entries are the
+    exact derivative of each loaded slot's weight wrt the coordinate
+    ({-1, 0, +1} by the clamp-match cases), so out-of-bounds corners
+    contribute nothing to either gradient — the CUDA col2im_coord
+    boundary semantics (deform_conv_cuda_kernel.cu:145-188).
+    """
+    pos_dtype = jnp.promote_types(pos_yx.dtype, jnp.float32)
+    y = pos_yx[..., 0].astype(pos_dtype)
+    x = pos_yx[..., 1].astype(pos_dtype)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    dy = y - y0
+    dx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y0c = jnp.clip(y0i, 0, max(H - 2, 0))
+    x0c = jnp.clip(x0i, 0, max(W - 2, 0))
+
+    def axis(c0c, c0i, frac):
+        ws, ds = [], []
+        for slot in (0, 1):
+            cc = c0c + slot
+            ws.append(jnp.where(cc == c0i, 1.0 - frac,
+                                jnp.where(cc == c0i + 1, frac, 0.0)))
+            ds.append(jnp.where(cc == c0i, -1.0,
+                                jnp.where(cc == c0i + 1, 1.0, 0.0)))
+        return ws, ds
+
+    wy, dwy = axis(y0c, y0i, dy)
+    wx, dwx = axis(x0c, x0i, dx)
+    wd8 = jnp.stack([wy[0], wy[1], wx[0], wx[1],
+                     dwy[0], dwy[1], dwx[0], dwx[1]],
+                    axis=-1).astype(jnp.float32)
+    starts = jnp.stack([y0c * W + x0c, (y0c + 1) * W + x0c], axis=-1)
+    return starts, wd8
+
+
+def _bwd_kernel(starts_ref, wd_ref, g_ref, feat_ref, gfeat_ref, gpos_ref,
+                *, K):
+    """One (b, p-tile) step of the fused backward over one channel slab.
+
+    Feature gradient: w_ij * g scatter-accumulated into gfeat_ref, whose
+    block index is constant over the inner p-tile grid dim — Mosaic keeps
+    it resident (zeroed at the first tile, flushed when the batch moves).
+    Position gradient: the four corner rows are already VMEM-resident, so
+    the kernel forms the analytic d(sample)/dy and d(sample)/dx vectors
+    and reduces them against the cotangent to per-tap scalars (partial
+    over this channel slab; XLA sums slabs).
     """
     pt = pl.program_id(1)
 
@@ -273,114 +362,112 @@ def _bwd_kernel(starts_ref, w_ref, g_ref, gfeat_ref, *, K, n_pt):
         for k in range(K):
             r0 = starts_ref[0, 0, p, 2 * k]
             r1 = starts_ref[0, 0, p, 2 * k + 1]
-            w00 = w_ref[0, 0, p, 4 * k]
-            w01 = w_ref[0, 0, p, 4 * k + 1]
-            w10 = w_ref[0, 0, p, 4 * k + 2]
-            w11 = w_ref[0, 0, p, 4 * k + 3]
-            g = g_ref[0, p, k].astype(jnp.float32)       # (S, LANE)
+            wy0 = wd_ref[0, 0, p, 8 * k + 0]
+            wy1 = wd_ref[0, 0, p, 8 * k + 1]
+            wx0 = wd_ref[0, 0, p, 8 * k + 2]
+            wx1 = wd_ref[0, 0, p, 8 * k + 3]
+            dy0 = wd_ref[0, 0, p, 8 * k + 4]
+            dy1 = wd_ref[0, 0, p, 8 * k + 5]
+            dx0 = wd_ref[0, 0, p, 8 * k + 6]
+            dx1 = wd_ref[0, 0, p, 8 * k + 7]
+            g = g_ref[0, p, k].astype(jnp.float32)       # (st, LANE)
+            top = feat_ref[0, pl.ds(r0, 2)]
+            bot = feat_ref[0, pl.ds(r1, 2)]
+            t0 = top[0].astype(jnp.float32)
+            t1 = top[1].astype(jnp.float32)
+            b0 = bot[0].astype(jnp.float32)
+            b1 = bot[1].astype(jnp.float32)
             # feature gradient: read-modify-write the two row pairs
             gt = gfeat_ref[0, pl.ds(r0, 2)]
             gfeat_ref[0, pl.ds(r0, 2)] = gt + jnp.stack(
-                [g * w00, g * w01])
+                [g * (wy0 * wx0), g * (wy0 * wx1)])
             gb = gfeat_ref[0, pl.ds(r1, 2)]
             gfeat_ref[0, pl.ds(r1, 2)] = gb + jnp.stack(
-                [g * w10, g * w11])
+                [g * (wy1 * wx0), g * (wy1 * wx1)])
+            # position gradient partials for this channel slice
+            gy_vec = dy0 * (wx0 * t0 + wx1 * t1) \
+                + dy1 * (wx0 * b0 + wx1 * b1)
+            gx_vec = wy0 * (dx0 * t0 + dx1 * t1) \
+                + wy1 * (dx0 * b0 + dx1 * b1)
+            gpos_ref[0, 0, p, 2 * k] = jnp.sum(g * gy_vec)
+            gpos_ref[0, 0, p, 2 * k + 1] = jnp.sum(g * gx_vec)
         return 0
 
-    lax.fori_loop(0, g_ref.shape[1], body, 0)
+    lax.fori_loop(0, TP, body, 0)
 
 
 def _deform_bwd_pallas(feat, pos_yx, g):
     """Pallas backward of bilinear sampling at absolute positions.
 
     feat: (B, H, W, C); pos_yx: (B, P, K, 2); g: (B, P, K, C) cotangent.
-    Returns (grad_feat, grad_pos).
+    Returns (grad_feat, grad_pos). Channel-tiled like the forward.
     """
     B, H, W, C = feat.shape
     _, P, K, _ = pos_yx.shape
     S = C // LANE
+    st = slice_tiles(H * W, S, feat.dtype.itemsize)
+    assert st is not None, feat.shape
+    n_s = S // st
 
-    starts, w4 = _prep_indices(pos_yx, H, W)
+    starts, wd8 = _prep_indices_bwd(pos_yx, H, W)
     P_pad = -(-P // TP) * TP
     if P_pad != P:
         pad = [(0, 0), (0, P_pad - P), (0, 0), (0, 0)]
         starts = jnp.pad(starts, pad)
-        w4 = jnp.pad(w4, pad)
+        wd8 = jnp.pad(wd8, pad)
         g = jnp.pad(g, pad)
-    starts_k = starts.reshape(B, P_pad // TP, TP, K * 2)
-    w4_k = w4.reshape(B, P_pad // TP, TP, K * 4)
-    feat_r = feat.reshape(B, H * W, S, LANE)
     n_pt = P_pad // TP
+    starts_k = starts.reshape(B, n_pt, TP, K * 2)
+    wd_k = wd8.reshape(B, n_pt, TP, K * 8)
+    feat_r = feat.reshape(B, H * W, S, LANE)
+    g_r = g.reshape(B, P_pad, K, S, LANE)
 
-    gfeat = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K, n_pt=n_pt),
-        out_shape=jax.ShapeDtypeStruct((B, H * W, S, LANE), jnp.float32),
-        grid=(B, n_pt),
-        in_specs=[
-            pl.BlockSpec((1, 1, TP, K * 2), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TP, K * 4), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TP, K, S, LANE), lambda b, i: (b, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H * W, S, LANE),
-                               lambda b, i: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(starts_k, w4_k, g.reshape(B, P_pad, K, S, LANE))
+    def run_slice(feat_slab, g_slab):
+        """Fused backward over one (B, HW, st, LANE) channel slab (one
+        pallas_call per slab — see deform_sample_pallas.run_slice)."""
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, K=K),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H * W, st, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_pt, TP, K * 2), jnp.float32),
+            ),
+            grid=(B, n_pt),
+            in_specs=[
+                pl.BlockSpec((1, 1, TP, K * 2), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, TP, K * 8), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, TP, K, st, LANE),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H * W, st, LANE),
+                             lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, H * W, st, LANE),
+                             lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TP, K * 2),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        )(starts_k, wd_k, g_slab, feat_slab)
+
+    if n_s == 1:
+        gfeat, gpos = run_slice(feat_r, g_r)
+    else:
+        gfeats, gposs = [], []
+        for s in range(n_s):
+            gf, gp = run_slice(feat_r[:, :, s * st:(s + 1) * st],
+                               g_r[:, :, :, s * st:(s + 1) * st])
+            gfeats.append(gf)
+            gposs.append(gp)
+        gfeat = jnp.concatenate(gfeats, axis=2)
+        gpos = sum(gposs)
 
     grad_feat = gfeat.reshape(B, H, W, C).astype(feat.dtype)
-
-    # corner contraction scalars via an XLA patch gather + einsum:
-    # s_ij[b,p,k] = <g[b,p,k,:], feat[corner_ij]>
-    PK = P * K
-    y0c_f = starts[:, :P].reshape(B, PK, 2)[..., 0] // W
-    x0c_f = starts[:, :P].reshape(B, PK, 2)[..., 0] % W
-    gstarts = jnp.stack([y0c_f, x0c_f], axis=-1)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    gather_one = lambda f, st: jax.lax.gather(
-        f, st, dnums, slice_sizes=(2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP)
-    patches = jax.vmap(gather_one)(feat, gstarts)      # (B, PK, 2, 2, C)
-    s4m = jnp.einsum('bpijc,bpc->bpij',
-                     patches.astype(jnp.float32),
-                     g[:, :P].reshape(B, PK, C).astype(jnp.float32))
-    s4 = s4m.reshape(B, P, K, 2, 2).reshape(B, P, K, 4)
-
-    # position gradient: combine corner scalars with the analytic weight
-    # derivatives (weights from _prep_indices: w_ij = wy_i * wx_j with
-    # coordinate-matched cases; d(1-frac)/dfrac = -1, d(frac)/dfrac = +1)
-    pos_dtype = jnp.promote_types(pos_yx.dtype, jnp.float32)
-    y = pos_yx[..., 0].astype(pos_dtype).reshape(B, P, K)
-    x = pos_yx[..., 1].astype(pos_dtype).reshape(B, P, K)
-    y0 = jnp.floor(y)
-    x0 = jnp.floor(x)
-    dy = y - y0
-    dx = x - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y0c = jnp.clip(y0i, 0, max(H - 2, 0))
-    x0c = jnp.clip(x0i, 0, max(W - 2, 0))
-
-    def axis_w_and_d(c0c, c0i, frac):
-        ws, ds = [], []
-        for slot in (0, 1):
-            cc = c0c + slot
-            ws.append(jnp.where(cc == c0i, 1.0 - frac,
-                                jnp.where(cc == c0i + 1, frac, 0.0)))
-            ds.append(jnp.where(cc == c0i, -1.0,
-                                jnp.where(cc == c0i + 1, 1.0, 0.0)))
-        return ws, ds
-
-    wy, dwy = axis_w_and_d(y0c, y0i, dy)
-    wx, dwx = axis_w_and_d(x0c, x0i, dx)
-    # s4 order: (top0=r0+0, top1=r0+1, bot0=r1+0, bot1=r1+1) = (i, j) pairs
-    s = [[s4[..., 0], s4[..., 1]], [s4[..., 2], s4[..., 3]]]
-    grad_y = sum(dwy[i] * wx[j] * s[i][j] for i in (0, 1) for j in (0, 1))
-    grad_x = sum(wy[i] * dwx[j] * s[i][j] for i in (0, 1) for j in (0, 1))
-    grad_pos = jnp.stack([grad_y, grad_x], axis=-1).astype(pos_yx.dtype)
+    grad_pos = gpos.reshape(B, P_pad, K, 2)[:, :P].astype(pos_yx.dtype)
     return grad_feat, grad_pos
 
 

@@ -183,7 +183,10 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
             cand, v, batch['gt_bboxes'], batch['gt_labels'],
             batch['gt_kpts'], batch['gt_mask'],
             pos_iou_thr=ra.pos_iou_thr, neg_iou_thr=ra.neg_iou_thr,
-            min_pos_iou=ra.min_pos_iou))
+            min_pos_iou=ra.min_pos_iou,
+            gt_bboxes_ignore=batch.get('gt_bboxes_ignore'),
+            gt_ignore_mask=batch.get('gt_ignore_mask'),
+            ignore_iof_thr=getattr(ra, 'ignore_iof_thr', -1.0)))
     return serial_loss(outs, grids, init_targets, refine_targets, cfg.head)
 
 
@@ -196,8 +199,10 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
     grids = build_level_geometry(cfg, canvas_hw)
 
     def loss_fn(params, batch_stats, batch):
-        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn'):
-            from kgdet_tpu.core.two_stage_loss import faster_rcnn_loss
+        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
+                                 'cascade_rcnn'):
+            from kgdet_tpu.core.two_stage_loss import (
+                cascade_rcnn_loss, faster_rcnn_loss)
             from kgdet_tpu.ops.anchors import anchor_valid_flags
 
             fwd = model.apply(
@@ -217,6 +222,8 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
                     lambda a, b: anchor_valid_flags(fh, fw, A, a, b))(
                         vh, vw))
             rng = jax.random.PRNGKey(batch.get('seed', 0))
+            if cfg.detector_type == 'cascade_rcnn':
+                return cascade_rcnn_loss(fwd, batch, rng, cfg, valids)
             return faster_rcnn_loss(fwd, batch, rng, cfg, valids)
 
         outs = model.apply(

@@ -27,6 +27,13 @@ def parse_args():
     p.add_argument('--eval', nargs='*', default=['bbox', 'keypoints'],
                    choices=['bbox', 'keypoints', 'segm'])
     p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--aug', action='store_true',
+                   help='multi-scale/flip test-time augmentation (merge '
+                        'raw boxes across variants before one NMS; bbox '
+                        'eval only)')
+    p.add_argument('--aug-scales', type=int, nargs='*', default=None,
+                   help='flat (long short) pairs, e.g. 1333 800 667 400')
+    p.add_argument('--no-aug-flip', action='store_true')
     p.add_argument('--distributed', action='store_true')
     return p.parse_args()
 
@@ -63,16 +70,28 @@ def main():
             variables = restored
 
     dataset = DeepFashion2Dataset(cfg.val_data, train=False)
-    loader = DataLoader(
-        dataset, args.batch_size or max(cfg.val_data.batch_size, 1),
-        train=False, num_shards=jax.process_count(),
-        shard_id=jax.process_index())
     print(f'[test] {len(dataset)} images on {jax.device_count()} device(s)',
           flush=True)
-    results = run_inference(model, variables, cfg, loader)
+    if args.aug:
+        from kgdet_tpu.eval_loop import run_inference_tta
+        scales = None
+        if args.aug_scales:
+            pairs = args.aug_scales
+            scales = [tuple(pairs[i:i + 2]) for i in range(0, len(pairs), 2)]
+        results = run_inference_tta(
+            model, variables, cfg, dataset, scales=scales,
+            flip=not args.no_aug_flip, batch_size=args.batch_size)
+        eval_types = ('bbox',)
+    else:
+        loader = DataLoader(
+            dataset, args.batch_size or max(cfg.val_data.batch_size, 1),
+            train=False, num_shards=jax.process_count(),
+            shard_id=jax.process_index())
+        results = run_inference(model, variables, cfg, loader)
+        eval_types = tuple(args.eval)
     stats, files = evaluate_results(
         results, dataset, out_prefix=args.json_out or '/tmp/kgdet_test',
-        iou_types=tuple(args.eval))
+        iou_types=eval_types)
     for iou_type, s in stats.items():
         line = ' '.join(f'{v:.4f}' for k, v in s.items())
         print(f'{iou_type}_mAP_copypaste: {line}')

@@ -218,21 +218,33 @@ def _convert_mask_head(parts, v, params, skipped, key):
         skipped.append(key)
 
 
-def _convert_head(parts, v, params, skipped, key):
-    # two-stage ConvFC box head (convfc_bbox_head.py): shared FCs + heads
+def _convfc_leaf(parts, v, params, target):
+    """Map one ConvFC box-head tensor onto module ``target``."""
     if parts[0] == 'shared_fcs':
         name = f'shared_fc_{parts[1]}'
         if parts[2] == 'weight':
             k = _roi_flat_fc_kernel(v) if parts[1] == '0' else _fc_kernel(v)
-            _set(params, ('bbox_head', name, 'kernel'), k)
+            _set(params, (target, name, 'kernel'), k)
         else:
-            _set(params, ('bbox_head', name, 'bias'), v)
-        return
+            _set(params, (target, name, 'bias'), v)
+        return True
     if parts[0] in ('fc_cls', 'fc_reg'):
         if parts[1] == 'weight':
-            _set(params, ('bbox_head', parts[0], 'kernel'), _fc_kernel(v))
+            _set(params, (target, parts[0], 'kernel'), _fc_kernel(v))
         else:
-            _set(params, ('bbox_head', parts[0], 'bias'), v)
+            _set(params, (target, parts[0], 'bias'), v)
+        return True
+    return False
+
+
+def _convert_head(parts, v, params, skipped, key):
+    # cascade R-CNN: bbox_head.<stage>.<...> (torch ModuleList)
+    if parts[0].isdigit():
+        if not _convfc_leaf(parts[1:], v, params, f'bbox_head_{parts[0]}'):
+            skipped.append(key)
+        return
+    # two-stage ConvFC box head (convfc_bbox_head.py): shared FCs + heads
+    if _convfc_leaf(parts, v, params, 'bbox_head'):
         return
     if parts[0] == 'moment_transfer':
         _set(params, ('head', 'moment_transfer'), v)

@@ -214,3 +214,98 @@ def test_apply_keypoint_groups():
     assert np.all(out[0, other] == 0)
     # input not mutated
     assert np.all(kpts[0, group[0]] == 0)
+
+
+# ----------------------------------------------------- ignore + extra augs
+def make_crowd_coco(tmpdir, seed=0):
+    """Small set where every image carries one crowd annotation."""
+    rng = np.random.RandomState(seed)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(4):
+        w, h = 160, 120
+        fname = f'crowd_{i:03d}.jpg'
+        cv2.imwrite(os.path.join(tmpdir, fname),
+                    rng.randint(0, 255, (h, w, 3), np.uint8))
+        images.append({'id': i + 1, 'file_name': fname,
+                       'width': w, 'height': h})
+        annotations.append({
+            'id': ann_id, 'image_id': i + 1, 'category_id': 1,
+            'bbox': [10.0, 10.0, 40.0, 40.0], 'area': 1600.0, 'iscrowd': 0,
+            'keypoints': [0.0] * (NUM_KEYPOINTS * 3)})
+        ann_id += 1
+        annotations.append({
+            'id': ann_id, 'image_id': i + 1, 'category_id': 2,
+            'bbox': [80.0, 20.0, 60.0, 60.0], 'area': 3600.0, 'iscrowd': 1})
+        ann_id += 1
+    categories = [{'id': c, 'name': f'cls{c}'} for c in range(1, 14)]
+    ann_file = os.path.join(tmpdir, 'crowd.json')
+    with open(ann_file, 'w') as f:
+        json.dump({'images': images, 'annotations': annotations,
+                   'categories': categories}, f)
+    return ann_file
+
+
+def test_crowd_annotations_become_ignore_regions(tmp_path):
+    ann = make_crowd_coco(str(tmp_path))
+    cfg = DataConfig(ann_file=ann, img_prefix=str(tmp_path),
+                     img_scale=(160, 120), max_gts=4, max_ignore=4,
+                     flip_ratio=0.0, canvas_hw=((128, 160),))
+    ds = DeepFashion2Dataset(cfg, train=True)
+    bboxes, labels, kpts, ignore = ds.parse_annotations(1)
+    assert len(bboxes) == 1 and len(ignore) == 1
+    np.testing.assert_allclose(ignore[0], [80, 20, 139, 79])
+
+    s = ds.prepare_train(0, np.random.RandomState(0))
+    assert s['gt_bboxes_ignore'].shape == (4, 4)
+    assert s['gt_ignore_mask'].tolist() == [True, False, False, False]
+    # scaled by the keep-ratio factor like the GT boxes
+    sf = s['gt_bboxes'][0][2] / bboxes[0][2]
+    np.testing.assert_allclose(s['gt_bboxes_ignore'][0], ignore[0] * sf,
+                               rtol=1e-5)
+
+
+def test_ignore_regions_exclude_candidates_from_negatives():
+    import jax.numpy as jnp
+    from kgdet_tpu.core.iou_assign import assign_max_iou
+
+    cands = jnp.asarray([[0., 0., 10., 10.],      # on the GT
+                         [50., 50., 60., 60.],    # inside crowd region
+                         [100., 100., 110., 110.]])  # plain negative
+    valid = jnp.ones((3,), bool)
+    gts = jnp.asarray([[0., 0., 10., 10.]])
+    gt_mask = jnp.ones((1,), bool)
+    ign = jnp.asarray([[45., 45., 70., 70.]])
+    ign_mask = jnp.ones((1,), bool)
+
+    a = assign_max_iou(cands, valid, gts, gt_mask, 0.5, 0.4, 0.0,
+                       gt_bboxes_ignore=ign, gt_ignore_mask=ign_mask,
+                       ignore_iof_thr=0.5)
+    assert bool(a.pos_mask[0]) and not bool(a.pos_mask[1])
+    assert bool(a.ignore_mask[1])          # crowd: neither pos nor neg
+    assert not bool(a.ignore_mask[2])      # stays a negative
+    # without the threshold the crowd candidate is a plain negative
+    b = assign_max_iou(cands, valid, gts, gt_mask, 0.5, 0.4, 0.0,
+                       gt_bboxes_ignore=ign, gt_ignore_mask=ign_mask,
+                       ignore_iof_thr=-1.0)
+    assert not bool(b.ignore_mask[1])
+
+
+def test_extra_augs_wired_into_prepare_train(synth_data):
+    import dataclasses
+    cfg = dataclasses.replace(
+        synth_data, photo_metric_distortion=True, expand=True,
+        random_crop=True, flip_ratio=0.5)
+    ds = DeepFashion2Dataset(cfg, train=True)
+    for seed in range(6):
+        s = ds.prepare_train(seed % len(ds), np.random.RandomState(seed))
+        canvas = s['image'].shape[:2]
+        assert canvas in tuple(cfg.canvas_hw)
+        m = s['gt_mask']
+        assert m.any()
+        b = s['gt_bboxes'][m]
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+        assert (b >= -1e-3).all()
+        assert (b[:, [0, 2]] <= s['valid_hw'][1]).all()
+        assert (b[:, [1, 3]] <= s['valid_hw'][0]).all()
+        assert np.isfinite(s['image']).all()

@@ -121,3 +121,68 @@ def test_split_gradients_match():
     for a, b in zip(gh, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-4)
+
+
+def test_tiled_forward_matches_xla(monkeypatch):
+    """Channel-sliced path (map over budget): st < S still exact."""
+    monkeypatch.setattr(pd, 'FWD_SLAB_BUDGET', 5 * 6 * 128 * 4 + 64)
+    monkeypatch.setattr(pd, 'BWD_SLAB_BUDGET', 5 * 6 * 128 * 8 + 64)
+    rng = np.random.RandomState(7)
+    B, H, W, C, K, P = 2, 5, 6, 256, 4, 9
+    assert pd.slice_tiles(H * W, C // 128, 4) == 1
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 7, (B, P, K, 2)).astype(np.float32))
+    want = bilinear_gather(feat, pos)
+    got = pd.deform_sample_pallas(feat, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_tiled_gradient_matches_xla(monkeypatch):
+    monkeypatch.setattr(pd, 'FWD_SLAB_BUDGET', 4 * 5 * 128 * 4 + 64)
+    monkeypatch.setattr(pd, 'BWD_SLAB_BUDGET', 4 * 5 * 128 * 8 + 64)
+    rng = np.random.RandomState(8)
+    B, H, W, C, K, P = 1, 4, 5, 256, 3, pd.TP + 2
+    assert pd.slice_tiles(H * W, C // 128, 4) == 1
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 5, (B, P, K, 2)).astype(np.float32))
+
+    def loss_h(f, p):
+        return jnp.sum(pd.deform_sample_hybrid(f, p) ** 2)
+
+    def loss_x(f, p):
+        return jnp.sum(bilinear_gather(f, p) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(feat, pos)
+    gx = jax.grad(loss_x, argnums=(0, 1))(feat, pos)
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gx[0]),
+                               atol=1e-4)
+    # slice partials sum in a different order than the XLA einsum
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_bwd_boundary_positions_match_xla():
+    """Positions straddling/clamped at borders: both grads agree."""
+    rng = np.random.RandomState(9)
+    B, H, W, C, K, P = 1, 5, 5, 128, 2, 6
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(np.array(
+        [[[[-0.5, 2.0], [4.5, 4.5]],
+          [[-10., -10.], [2.2, -0.7]],
+          [[0.0, 0.0], [4.0, 4.0]],
+          [[3.9, 4.7], [-0.2, 0.1]],
+          [[1.5, 6.0], [6.0, 1.5]],
+          [[2.0, 2.0], [5.2, 5.2]]]], np.float32))
+
+    def loss_h(f, p):
+        return jnp.sum(pd.deform_sample_hybrid(f, p) ** 2)
+
+    def loss_x(f, p):
+        return jnp.sum(bilinear_gather(f, p) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(feat, pos)
+    gx = jax.grad(loss_x, argnums=(0, 1))(feat, pos)
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gx[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
+                               atol=1e-4)
