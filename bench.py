@@ -42,15 +42,21 @@ def kernel_check():
         b = np.asarray(b, np.float64)
         return float(np.max(np.abs(a - b) / (np.abs(b) + 1.0)))
 
-    # serial_tiled uses bf16 like the production serial-head path (an f32
-    # map of that extent exceeds the per-slice budget by design)
+    # 'tiled_exact' forces the channel-sliced path on a small f32 problem
+    # (budget clamp) so the tiled Mosaic lowering is checked bit-tight;
+    # 'serial_bf16' runs the production stride-8 bf16 shape, where the XLA
+    # reference itself rounds its bilinear weights to bf16 (deform.py
+    # bilinear_gather w4 cast), so only coarse agreement is meaningful.
     cases = {
         'hot_untiled': dict(B=2, H=24, W=42, C=512, K=83,
                             dtype=jnp.float32, tol=1e-3),
-        'serial_tiled': dict(B=1, H=96, W=168, C=512, K=9,
-                             dtype=jnp.bfloat16, tol=2e-2),
+        'tiled_exact': dict(B=1, H=24, W=42, C=512, K=9,
+                            dtype=jnp.float32, tol=1e-3, force_tile=True),
+        'serial_bf16': dict(B=1, H=96, W=168, C=512, K=9,
+                            dtype=jnp.bfloat16, tol=2e-2, loose_grads=True),
     }
     tols = {}
+    saved = (pd.FWD_SLAB_BUDGET, pd.BWD_SLAB_BUDGET)
     for name, c in cases.items():
         P = c['H'] * c['W']
         feat = jnp.asarray(
@@ -62,19 +68,30 @@ def kernel_check():
         g = jnp.asarray(
             rng.randn(c['B'], P, c['K'], c['C']).astype(
                 np.float32)).astype(c['dtype'])
-        if name == 'serial_tiled':
-            st = pd.slice_tiles(P, c['C'] // 128, feat.dtype.itemsize)
-            assert st is not None and st < c['C'] // 128, st
-        out_p, vjp_p = jax.vjp(pd.deform_sample_hybrid, feat, pos)
-        out_x, vjp_x = jax.vjp(bilinear_gather, feat, pos)
-        gf_p, gp_p = vjp_p(g)
-        gf_x, gp_x = vjp_x(g)
+        if c.get('force_tile'):
+            pd.FWD_SLAB_BUDGET = P * 128 * 4 + 64
+            pd.BWD_SLAB_BUDGET = P * 128 * 8 + 64
+        st = pd.slice_tiles(P, c['C'] // 128, feat.dtype.itemsize)
+        if c.get('force_tile') or name == 'serial_bf16':
+            assert st is not None and st < c['C'] // 128, (name, st)
+        try:
+            out_p, vjp_p = jax.vjp(pd.deform_sample_hybrid, feat, pos)
+            out_x, vjp_x = jax.vjp(bilinear_gather, feat, pos)
+            gf_p, gp_p = vjp_p(g)
+            gf_x, gp_x = vjp_x(g)
+        finally:
+            pd.FWD_SLAB_BUDGET, pd.BWD_SLAB_BUDGET = saved
         results[f'{name}.fwd'] = rel_err(out_p, out_x)
         results[f'{name}.grad_feat'] = rel_err(gf_p, gf_x)
         results[f'{name}.grad_pos'] = rel_err(gp_p, gp_x)
+        # bf16 grads: XLA ref rounds w4 to bf16, kernel keeps f32 weights;
+        # interpret-mode probes show ~0.05-0.2 rel from that alone, so the
+        # bf16 case only guards against catastrophic breakage (the
+        # tiled_exact f32 case is the tight correctness gate)
+        gtol = 0.5 if c.get('loose_grads') else c['tol']
         tols.update({f'{name}.fwd': c['tol'],
-                     f'{name}.grad_feat': c['tol'],
-                     f'{name}.grad_pos': c['tol']})
+                     f'{name}.grad_feat': gtol,
+                     f'{name}.grad_pos': gtol})
 
     # column/branch-split kernel on the cascade tap layout
     taps = (9, 25, 49)

@@ -53,10 +53,13 @@ class BackboneConfig:
     num_stages: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = 1
+    # 'pytorch' (stride on 3x3) | 'caffe' (stride on the first 1x1)
+    style: str = 'pytorch'
     # optional per-stage extras (0-based stage indices)
     dcn_stages: Tuple[int, ...] = ()
     gcb_stages: Tuple[int, ...] = ()
     nonlocal_stages: Tuple[int, ...] = ()
+    gen_attention_stages: Tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -193,7 +196,8 @@ class KGDetConfig:
     # two-stage proposal budget (fixed shapes)
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
-    rcnn_sampler: str = 'random'          # 'random' | 'ohem'
+    # 'random' | 'ohem' | 'iou_balanced' | 'instance_balanced'
+    rcnn_sampler: str = 'random'
     work_dir: str = './work_dirs/kgdet'
     seed: int = 0
 

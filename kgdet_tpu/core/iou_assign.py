@@ -49,6 +49,7 @@ class IoUAssignment(NamedTuple):
     assigned_gt: jnp.ndarray   # (P,) int32 index into G (valid where pos)
     pos_mask: jnp.ndarray      # (P,) bool
     ignore_mask: jnp.ndarray   # (P,) bool — neither positive nor negative
+    max_iou: jnp.ndarray       # (P,) float best-GT IoU (-1 for masked)
 
 
 def assign_max_iou(candidates, cand_valid, gt_bboxes, gt_mask,
@@ -95,4 +96,4 @@ def assign_max_iou(candidates, cand_valid, gt_bboxes, gt_mask,
     assigned = jnp.where(claimed, last_claim, argmax_gt).astype(jnp.int32)
     pos_all = (pos | claimed) & cand_valid
     ignore = (ignore | crowd) & ~pos_all
-    return IoUAssignment(assigned, pos_all, ignore)
+    return IoUAssignment(assigned, pos_all, ignore, max_iou)

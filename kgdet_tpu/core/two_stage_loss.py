@@ -43,19 +43,58 @@ def _random_quota_mask(rng, mask, quota):
     return mask & (pri >= jnp.maximum(thresh, 0.0))
 
 
+def _balanced_quota_mask(rng, mask, group_id, quota):
+    """Select up to `quota` True entries of `mask`, spreading evenly over
+    groups: candidates get a random within-group rank and the globally
+    smallest ranks win, so small groups are taken whole and the remainder
+    tops up from larger groups — the fixed-shape reformulation of the
+    reference's per-group quota + dynamic top-up samplers
+    (iou_balanced_neg_sampler.py, instance_balanced_pos_sampler.py).
+    """
+    P = mask.shape[-1]
+    if quota >= P:
+        return mask
+    k1, k2 = jax.random.split(rng)
+    u = jax.random.uniform(k1, (P,))
+    big = jnp.float32(2.0)
+    sort_key = jnp.where(mask, group_id.astype(jnp.float32) * big + u,
+                         jnp.inf)
+    order = jnp.argsort(sort_key)
+    idx = jnp.arange(P)
+    sorted_groups = jnp.where(mask[order], group_id[order], -1)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_groups[1:] != sorted_groups[:-1]])
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, 0))
+    rank = jnp.zeros((P,), jnp.int32).at[order].set(
+        (idx - start_pos).astype(jnp.int32))
+    key = jnp.where(mask, rank + jax.random.uniform(k2, (P,)) * 0.99,
+                    jnp.inf)
+    thresh = -jax.lax.top_k(-key, quota)[0][..., -1]
+    return mask & (key <= thresh)
+
+
 def sample_pos_neg(rng, pos_mask, neg_mask, num, pos_fraction,
-                   neg_priority=None):
+                   neg_priority=None, pos_group_id=None, neg_group_id=None):
     """Pos/neg subsampling with static quotas (see module docstring).
 
     neg_priority: optional (N,) scores — negatives are taken by descending
     priority instead of uniformly (OHEM, parity: mmdet ohem_sampler.py
     hard-negative mining by classification loss).
+    pos_group_id / neg_group_id: optional (N,) int groups — the matching
+    role is sampled group-balanced instead of uniformly (instance-balanced
+    positives / IoU-bin-balanced negatives).
     """
     num_pos = int(num * pos_fraction)
     num_neg = num - num_pos
     k1, k2 = jax.random.split(rng)
-    pos_sel = _random_quota_mask(k1, pos_mask, num_pos)
-    if neg_priority is None:
+    if pos_group_id is not None:
+        pos_sel = _balanced_quota_mask(k1, pos_mask, pos_group_id, num_pos)
+    else:
+        pos_sel = _random_quota_mask(k1, pos_mask, num_pos)
+    if neg_group_id is not None:
+        neg_sel = _balanced_quota_mask(k2, neg_mask, neg_group_id, num_neg)
+    elif neg_priority is None:
         neg_sel = _random_quota_mask(k2, neg_mask, num_neg)
     else:
         pri = jnp.where(neg_mask, neg_priority, -jnp.inf)
@@ -149,9 +188,17 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
                            gt_ignore_mask=ign_mask,
                            ignore_iof_thr=ignore_iof_thr)
         neg = v & ~a.pos_mask & ~a.ignore_mask
+        # negative IoU bins for the IoU-balanced sampler (3 bins over
+        # [0, neg_iou_thr), reference iou_balanced_neg_sampler.py)
+        neg_bins = jnp.clip(
+            (jnp.clip(a.max_iou, 0.0) / max(neg_iou_thr, 1e-6) * 3)
+            .astype(jnp.int32), 0, 2)
         pos_sel, neg_sel = sample_pos_neg(
             key, a.pos_mask, neg, num_samples, pos_fraction,
-            neg_priority=hardness if sampler == 'ohem' else None)
+            neg_priority=hardness if sampler == 'ohem' else None,
+            pos_group_id=(a.assigned_gt
+                          if sampler == 'instance_balanced' else None),
+            neg_group_id=neg_bins if sampler == 'iou_balanced' else None)
         lab = jnp.where(pos_sel, labels[a.assigned_gt], 0)   # 0 = background
         cls_w = (pos_sel | neg_sel).astype(jnp.float32)
         deltas = bbox2delta(props, gts[a.assigned_gt], stds=target_stds)

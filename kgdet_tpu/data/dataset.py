@@ -71,6 +71,8 @@ class DeepFashion2Dataset:
                  filter_empty: Optional[bool] = None):
         self.cfg = cfg
         self.train = train
+        self.num_keypoints = NUM_KEYPOINTS
+        self.with_keypoints = True
         self.coco = CocoIndex(cfg.ann_file)
         self.cat_ids = self.coco.cat_ids
         self.cat2label = {c: i + 1 for i, c in enumerate(self.cat_ids)}
@@ -207,7 +209,8 @@ class DeepFashion2Dataset:
         if flipped:
             img = img[:, ::-1]
             bboxes = flip_bboxes(bboxes, rw)
-            kpts = flip_keypoints(kpts, labels, rw)
+            if self.with_keypoints:
+                kpts = flip_keypoints(kpts, labels, rw)
             if len(ignore):
                 ignore = flip_bboxes(ignore, rw)
 
@@ -220,7 +223,7 @@ class DeepFashion2Dataset:
         n = min(len(bboxes), G)
         out_bboxes = np.zeros((G, 4), np.float32)
         out_labels = np.zeros((G,), np.int32)
-        out_kpts = np.zeros((G, NUM_KEYPOINTS, 3), np.float32)
+        out_kpts = np.zeros((G, self.num_keypoints, 3), np.float32)
         out_mask = np.zeros((G,), bool)
         out_bboxes[:n] = bboxes[:n]
         out_labels[:n] = labels[:n]

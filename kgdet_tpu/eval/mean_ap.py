@@ -136,3 +136,24 @@ def eval_recalls(gts: List[np.ndarray], proposals: List[np.ndarray],
                 hit += int((ious.max(axis=1) >= thr).sum())
             recalls[pi, ti] = hit / total_gt
     return recalls
+
+
+def eval_voc_results(results, dataset, iou_thr=0.5, mode='area'):
+    """VOC-protocol mAP for {img_id: (dets (N, 5), labels0 (N,), ...)}
+    result dicts over an XML-style dataset (parity: the reference's
+    mean_ap-based VOC evaluation path; mode='11points' gives the VOC07
+    metric). Ignore regions are excluded from the GT sets, matching
+    tpfp_default's handling of absent GTs.
+    """
+    num_classes = len(dataset.class_names)
+    det_results, gt_bboxes, gt_labels = [], [], []
+    for rec in dataset.records:
+        dets, labels = results[rec.img_id][:2]
+        det_results.append([np.asarray(dets).reshape(-1, 5)[
+            np.asarray(labels).reshape(-1) == c]
+            for c in range(num_classes)])
+        b, l, _, _ignore = dataset.parse_annotations(rec.img_id)
+        gt_bboxes.append(b)
+        gt_labels.append(l)
+    return eval_map(det_results, gt_bboxes, gt_labels, iou_thr=iou_thr,
+                    mode=mode)

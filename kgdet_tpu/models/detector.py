@@ -41,7 +41,9 @@ class KGDetDetector(nn.Module):
             out_indices=cfg.backbone.out_indices,
             dcn_stages=cfg.backbone.dcn_stages,
             gcb_stages=cfg.backbone.gcb_stages,
-            nonlocal_stages=cfg.backbone.nonlocal_stages, dtype=dtype,
+            nonlocal_stages=cfg.backbone.nonlocal_stages,
+            gen_attention_stages=cfg.backbone.gen_attention_stages,
+            style=cfg.backbone.style, dtype=dtype,
             name='backbone')
         neck_cls = NECKS.get(cfg.neck.type)
         neck = neck_cls(

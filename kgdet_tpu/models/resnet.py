@@ -120,46 +120,60 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """pytorch-style bottleneck: the stride sits on the 3x3 conv.
+    """Bottleneck block, pytorch or caffe style.
+
+    style='pytorch' puts the stage stride on the 3x3 conv; style='caffe'
+    puts it on the first 1x1 (reference resnet.py:116-127), which caffe-era
+    zoo checkpoints assume.
 
     Optional per-stage extras mirroring the reference ResNet's stage options
     (resnet.py dcn/gcb/gen_attention): use_dcn swaps the 3x3 for a
-    deformable conv; plugin appends a GCNet context block or a NonLocal
-    block after the residual add.
+    deformable conv; plugin 'gen_attention' runs empirical attention after
+    the 3x3 (resnet.py:243), 'gcb' adds the GCNet context block after bn3
+    inside the residual branch (resnet.py:249), 'nonlocal' appends a
+    NonLocal block after the residual add (extension; not a reference
+    resnet insertion point).
     """
     planes: int
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
     use_dcn: bool = False
-    plugin: Any = None              # None | 'gcb' | 'nonlocal'
+    style: str = 'pytorch'
+    plugin: Any = None     # None | 'gcb' | 'nonlocal' | 'gen_attention'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(self.planes, 1, 1, 'conv1')(x)
+        c1s = self.stride if self.style == 'caffe' else 1
+        c2s = 1 if self.style == 'caffe' else self.stride
+        out = _conv(self.planes, 1, c1s, 'conv1')(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
         if self.use_dcn:
-            out = DeformConv3x3(self.planes, stride=self.stride,
+            out = DeformConv3x3(self.planes, stride=c2s,
                                 dtype=self.dtype, name='conv2')(out)
         else:
-            out = _conv(self.planes, 3, self.stride, 'conv2')(out)
+            out = _conv(self.planes, 3, c2s, 'conv2')(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
+        if self.plugin == 'gen_attention':
+            from kgdet_tpu.models.plugins import GeneralizedAttention
+            out = GeneralizedAttention(
+                dtype=self.dtype, name='gen_attention_block')(out)
         out = _conv(self.planes * self.expansion, 1, 1, 'conv3')(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn3')(out)
+        if self.plugin == 'gcb':
+            from kgdet_tpu.models.plugins import ContextBlock
+            out = ContextBlock(dtype=self.dtype, name='context_block')(out)
         if self.downsample:
             identity = _conv(self.planes * self.expansion, 1, self.stride,
                              'downsample_conv')(x)
             identity = FrozenBatchNorm(
                 dtype=self.dtype, name='downsample_bn')(identity)
         out = nn.relu(out + identity)
-        if self.plugin == 'gcb':
-            from kgdet_tpu.models.plugins import ContextBlock
-            out = ContextBlock(dtype=self.dtype, name='context_block')(out)
-        elif self.plugin == 'nonlocal':
+        if self.plugin == 'nonlocal':
             from kgdet_tpu.models.plugins import NonLocal2D
             out = NonLocal2D(dtype=self.dtype, name='nonlocal_block')(out)
         return out
@@ -183,6 +197,9 @@ class ResNet(nn.Module):
     dcn_stages: Tuple[int, ...] = ()
     gcb_stages: Tuple[int, ...] = ()
     nonlocal_stages: Tuple[int, ...] = ()
+    gen_attention_stages: Tuple[int, ...] = ()
+    # 'pytorch' (stride on 3x3) | 'caffe' (stride on the first 1x1)
+    style: str = 'pytorch'
     # exact space-to-depth stem (see s2d_stem_conv); same params either way
     s2d_stem: bool = True
     dtype: Any = jnp.float32
@@ -212,14 +229,17 @@ class ResNet(nn.Module):
             stride = 1 if stage == 0 else 2
             num_blocks = stage_blocks[stage]
             plugin = ('gcb' if stage in self.gcb_stages else
-                      'nonlocal' if stage in self.nonlocal_stages else None)
+                      'nonlocal' if stage in self.nonlocal_stages else
+                      'gen_attention' if stage in self.gen_attention_stages
+                      else None)
             use_dcn = stage in self.dcn_stages
             for i in range(num_blocks):
                 s = stride if i == 0 else 1
                 need_ds = (i == 0) and (s != 1 or in_ch != planes * expansion)
                 kwargs = {}
                 if block_cls is Bottleneck:
-                    kwargs = dict(use_dcn=use_dcn, plugin=plugin)
+                    kwargs = dict(use_dcn=use_dcn, plugin=plugin,
+                                  style=self.style)
                 x = block_cls(planes=planes, stride=s, downsample=need_ds,
                               dtype=self.dtype,
                               name=f'layer{stage + 1}/{i}', **kwargs)(x)

@@ -141,6 +141,14 @@ def _convert_backbone(parts, v, params, stats, skipped, key, dcn_blocks=()):
             leaf = 'kernel' if parts[3] == 'weight' else 'bias'
             _set(params, ('backbone', block, 'conv2', 'conv_offset', leaf),
                  _conv_kernel(v) if leaf == 'kernel' else v)
+        elif sub == 'gen_attention_block':
+            _convert_gen_attention(
+                parts[3:], v, params,
+                ('backbone', block, 'gen_attention_block'), skipped, key)
+        elif sub == 'context_block':
+            _convert_context_block(
+                parts[3:], v, params, ('backbone', block, 'context_block'),
+                skipped, key)
         elif sub == 'conv2' and block in dcn_blocks:
             _set(params, ('backbone', block, 'conv2', 'weight'),
                  _dcn_kernel(v))
@@ -178,6 +186,51 @@ def _convert_neck(parts, v, params, skipped, key):
     elif mod == 'gn':
         _set(params, ('neck', name, 'gn', 'scale' if leaf == 'weight'
                       else 'bias'), v)
+    else:
+        skipped.append(key)
+
+
+def _convert_gen_attention(parts, v, params, prefix, skipped, key):
+    """GeneralizedAttention: 1x1 convs -> Dense kernels, Linears, scalars."""
+    mod = parts[0]
+    if mod in ('query_conv', 'key_conv', 'value_conv', 'proj_conv'):
+        if parts[1] == 'weight':
+            _set(params, prefix + (mod, 'kernel'), _dense_kernel(v))
+        else:
+            _set(params, prefix + (mod, 'bias'), v)
+    elif mod in ('appr_geom_fc_x', 'appr_geom_fc_y'):
+        _set(params, prefix + (mod, 'kernel'), _fc_kernel(v))
+    elif mod in ('appr_bias', 'geom_bias', 'gamma'):
+        _set(params, prefix + (mod,), v)
+    else:
+        skipped.append(key)
+
+
+def _convert_context_block(parts, v, params, prefix, skipped, key):
+    """GCNet ContextBlock: conv_mask + Sequential(conv, LN, relu, conv)."""
+    mod = parts[0]
+    leaf = parts[-1]
+    if mod == 'conv_mask':
+        _set(params, prefix + ('conv_mask',
+                               'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+    elif mod in ('channel_add_conv', 'channel_mul_conv'):
+        fusion = mod[:-5]                       # channel_add / channel_mul
+        seq_idx = parts[1]
+        if seq_idx == '0':
+            _set(params, prefix + (f'{fusion}_conv1',
+                                   'kernel' if leaf == 'weight' else 'bias'),
+                 _conv_kernel(v) if leaf == 'weight' else v)
+        elif seq_idx == '1':                    # LayerNorm
+            _set(params, prefix + (f'{fusion}_ln',
+                                   'scale' if leaf == 'weight' else 'bias'),
+                 v.reshape(-1))
+        elif seq_idx == '3':
+            _set(params, prefix + (f'{fusion}_conv2',
+                                   'kernel' if leaf == 'weight' else 'bias'),
+                 _conv_kernel(v) if leaf == 'weight' else v)
+        else:
+            skipped.append(key)
     else:
         skipped.append(key)
 

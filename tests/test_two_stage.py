@@ -211,3 +211,37 @@ def test_faster_rcnn_ohem_train():
     batch['seed'] = jnp.int32(11)
     _, _, logs = step(params, stats, opt_state, batch)
     assert np.isfinite(float(logs['loss_cls']))
+
+
+def test_balanced_quota_mask_spreads_over_groups():
+    from kgdet_tpu.core.two_stage_loss import _balanced_quota_mask
+    rng = jax.random.PRNGKey(0)
+    # 3 groups with 20/20/2 members; quota 12 -> 2-member group fully taken,
+    # remainder split over the large groups (5 each)
+    mask = jnp.ones(42, bool)
+    gid = jnp.asarray([0] * 20 + [1] * 20 + [2] * 2)
+    sel = _balanced_quota_mask(rng, mask, gid, 12)
+    sel = np.asarray(sel)
+    assert sel.sum() == 12
+    assert sel[40:].sum() == 2
+    assert 4 <= sel[:20].sum() <= 6 and 4 <= sel[20:40].sum() <= 6
+    # quota never exceeds the available candidates
+    small = jnp.zeros(42, bool).at[:3].set(True)
+    sel2 = _balanced_quota_mask(jax.random.PRNGKey(1), small, gid, 12)
+    assert np.asarray(sel2).sum() == 3
+    assert not np.asarray(sel2 & ~small).any()
+
+
+@pytest.mark.parametrize('sampler', ['iou_balanced', 'instance_balanced'])
+def test_faster_rcnn_balanced_samplers_train(sampler):
+    cfg = frcnn_cfg().replace(rcnn_sampler=sampler)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    batch['seed'] = jnp.int32(13)
+    _, _, logs = step(params, stats, opt_state, batch)
+    assert np.isfinite(float(logs['loss_cls'])), sampler

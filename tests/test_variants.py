@@ -202,3 +202,96 @@ def test_backbone_stage_extras():
     outs = jax.jit(m.apply)(variables, x)
     assert outs[0].shape == (1, 8, 8, 256)
     assert np.isfinite(np.asarray(outs[1])).all()
+
+
+def test_caffe_style_bottleneck_stride_on_1x1():
+    """caffe style: stride moves to conv1; output shapes unchanged."""
+    from kgdet_tpu.models.resnet import Bottleneck
+    x = jnp.zeros((1, 8, 8, 16))
+    for style in ('pytorch', 'caffe'):
+        block = Bottleneck(planes=4, stride=2, downsample=True, style=style)
+        variables = jax.jit(block.init)(jax.random.PRNGKey(0), x)
+        out = jax.jit(block.apply)(variables, x)
+        assert out.shape == (1, 4, 4, 16), style
+    # param shapes are identical across styles (same checkpoint layout)
+    pa = jax.jit(Bottleneck(planes=4, stride=2, downsample=True,
+                            style='pytorch').init)(jax.random.PRNGKey(0), x)
+    pb = jax.jit(Bottleneck(planes=4, stride=2, downsample=True,
+                            style='caffe').init)(jax.random.PRNGKey(0), x)
+    sa = jax.tree.map(lambda t: t.shape, pa)
+    sb = jax.tree.map(lambda t: t.shape, pb)
+    assert sa == sb
+    # and the two styles genuinely compute different functions
+    oa = Bottleneck(planes=4, stride=2, downsample=True,
+                    style='pytorch').apply(pa, jnp.ones((1, 8, 8, 16)))
+    ob = Bottleneck(planes=4, stride=2, downsample=True,
+                    style='caffe').apply(pa, jnp.ones((1, 8, 8, 16)))
+    assert np.abs(np.asarray(oa) - np.asarray(ob)).max() > 0
+
+
+def test_generalized_attention_plugin():
+    from kgdet_tpu.models.plugins import GeneralizedAttention
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 10, 36),
+                    jnp.float32)
+    for att_type in ('1111', '0010', '1000', '0100', '0001'):
+        mod = GeneralizedAttention(num_heads=9, kv_stride=2,
+                                   attention_type=att_type)
+        variables = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+        out = jax.jit(mod.apply)(variables, x)
+        assert out.shape == x.shape, att_type
+        assert np.isfinite(np.asarray(out)).all(), att_type
+        # gamma starts at 0 -> identity at init (reference semantics)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   atol=1e-6, err_msg=att_type)
+    # spatial range constraint runs
+    mod = GeneralizedAttention(num_heads=4, kv_stride=2, spatial_range=3,
+                               attention_type='1111')
+    x2 = jnp.asarray(np.random.RandomState(1).randn(1, 8, 8, 16),
+                     jnp.float32)
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(1), x2)
+    # perturb gamma so the attention output actually mixes in
+    variables = jax.tree_util.tree_map(lambda t: t, variables)
+    p = dict(variables['params'])
+    p['gamma'] = jnp.ones_like(p['gamma'])
+    out = jax.jit(mod.apply)({'params': p}, x2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gen_attention_stage_and_converter():
+    from kgdet_tpu.models.resnet import ResNet
+    from kgdet_tpu.utils.torch_convert import convert_state_dict
+    m = ResNet(depth=50, num_stages=2, out_indices=(1,),
+               gen_attention_stages=(1,))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    ga = variables['params']['layer2/0']['gen_attention_block']
+    assert 'query_conv' in ga and 'proj_conv' in ga
+
+    rng = np.random.RandomState(0)
+    c = 128
+    state = {
+        'backbone.layer2.0.gen_attention_block.query_conv.weight':
+            rng.randn(c, c, 1, 1).astype(np.float32),
+        'backbone.layer2.0.gen_attention_block.appr_geom_fc_x.weight':
+            rng.randn(c, c // 2).astype(np.float32),
+        'backbone.layer2.0.gen_attention_block.appr_bias':
+            rng.randn(c).astype(np.float32),
+        'backbone.layer2.0.gen_attention_block.gamma':
+            np.zeros(1, np.float32),
+        'backbone.layer1.0.context_block.conv_mask.weight':
+            rng.randn(1, 64, 1, 1).astype(np.float32),
+        'backbone.layer1.0.context_block.channel_add_conv.0.weight':
+            rng.randn(4, 64, 1, 1).astype(np.float32),
+        'backbone.layer1.0.context_block.channel_add_conv.1.weight':
+            rng.randn(4, 1, 1).astype(np.float32),
+        'backbone.layer1.0.context_block.channel_add_conv.3.weight':
+            rng.randn(64, 4, 1, 1).astype(np.float32),
+    }
+    params, _, skipped = convert_state_dict(state)
+    assert not skipped, skipped
+    gab = params['backbone']['layer2/0']['gen_attention_block']
+    assert gab['query_conv']['kernel'].shape == (c, c)
+    assert gab['appr_geom_fc_x']['kernel'].shape == (c // 2, c)
+    cb = params['backbone']['layer1/0']['context_block']
+    assert cb['conv_mask']['kernel'].shape == (1, 1, 64, 1)
+    assert cb['channel_add_ln']['scale'].shape == (4,)
