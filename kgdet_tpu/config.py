@@ -106,6 +106,13 @@ class HeadConfig:
     octave_base_scale: int = 4
     scales_per_octave: int = 3
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # SSD head (reference ssd_head.py recipe knobs)
+    ssd_input_size: int = 300
+    ssd_basesize_ratio_range: Tuple[float, float] = (0.15, 0.9)
+    ssd_anchor_ratios: Tuple[Tuple[int, ...], ...] = \
+        ((2,), (2, 3), (2, 3), (2, 3), (2,))
+    ssd_neg_pos_ratio: int = 3
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
 
 
 @dataclass(frozen=True)

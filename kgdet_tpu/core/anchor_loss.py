@@ -135,3 +135,112 @@ def decode_detections_anchor(level_outs, anchors_per_level, img_hw,
         boxes, scores, dummy_kpts)
     return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
             'det_kpts': det_kpts, 'valid': valid}
+
+
+def ssd_loss(level_outs, anchors_per_level, valids_per_level, batch,
+             head_cfg: HeadConfig, assign_cfg, neg_pos_ratio: int = 3,
+             target_stds=(0.1, 0.1, 0.2, 0.2)):
+    """SSD MultiBox loss: softmax CE with 3:1 hard-negative mining +
+    smooth-L1 deltas.
+
+    Parity: reference ssd_head.py loss_single — negatives are ranked by
+    their background CE loss per image and the top neg_pos_ratio*num_pos
+    are kept; both terms normalize by the batch positive count. The
+    reference's dynamic topk becomes a fixed-shape rank-vs-count compare.
+    """
+    num_classes = head_cfg.num_classes
+    C1 = num_classes + 1
+    anchors = jnp.concatenate(
+        [jnp.asarray(a) for a in anchors_per_level], axis=0)
+    valid = jnp.concatenate(list(valids_per_level), axis=1)
+    B = valid.shape[0]
+
+    labels, label_w, deltas, bbox_w, _ = anchor_targets(
+        anchors, valid, batch['gt_bboxes'], batch['gt_labels'],
+        batch['gt_mask'], pos_iou_thr=assign_cfg.pos_iou_thr,
+        neg_iou_thr=assign_cfg.neg_iou_thr,
+        min_pos_iou=assign_cfg.min_pos_iou,
+        gt_bboxes_ignore=batch.get('gt_bboxes_ignore'),
+        gt_ignore_mask=batch.get('gt_ignore_mask'),
+        ignore_iof_thr=getattr(assign_cfg, 'ignore_iof_thr', -1.0))
+    cls = jnp.concatenate(
+        [o['cls'][-1].astype(jnp.float32).reshape(o['cls'].shape[1], -1, C1)
+         for o in level_outs], axis=1)
+    reg = jnp.concatenate(
+        [o['bbox'][-1].astype(jnp.float32).reshape(
+            o['bbox'].shape[1], -1, 4) for o in level_outs], axis=1)
+
+    logp = jax.nn.log_softmax(cls, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    ce = ce * label_w                                       # (B, P)
+
+    pos = (labels > 0) & (label_w > 0)
+    neg = (labels == 0) & (label_w > 0)
+    num_pos_img = pos.sum(axis=1)                           # (B,)
+    # per-image hard-negative rank (descending CE)
+    neg_ce = jnp.where(neg, ce, -jnp.inf)
+    order = jnp.argsort(-neg_ce, axis=1)
+    P = ce.shape[1]
+    rank = jnp.zeros_like(order).at[
+        jnp.arange(B)[:, None], order].set(jnp.arange(P)[None, :])
+    sel_neg = neg & (rank < (neg_pos_ratio * num_pos_img)[:, None])
+
+    total_pos = jnp.maximum(num_pos_img.sum().astype(jnp.float32), 1.0)
+    l_cls = (ce * (pos | sel_neg)).sum() / total_pos
+
+    # smooth-L1 on std-scaled delta targets (bbox_w marks positives;
+    # anchor_targets built raw deltas, SSD trains against deltas / stds)
+    deltas_std = deltas / jnp.asarray(target_stds, jnp.float32)
+    l_bbox = smooth_l1_loss(reg, deltas_std, bbox_w, beta=1.0,
+                            avg_factor=total_pos)
+    total = l_cls + l_bbox
+    return total, {'loss_cls': l_cls, 'loss_bbox': l_bbox,
+                   'num_pos': total_pos}
+
+
+def decode_detections_ssd(level_outs, anchors_per_level, img_hw,
+                          scale_factor, cfg: TestConfig, num_classes: int,
+                          target_stds=(0.1, 0.1, 0.2, 0.2)):
+    """SSD inference: per-level softmax scores (background dropped),
+    std-scaled delta decode, clamp, rescale, NMS."""
+    C1 = num_classes + 1
+    mlvl_scores, mlvl_bboxes = [], []
+    B = level_outs[0]['cls'].shape[1]
+    for outs, anchors in zip(level_outs, anchors_per_level):
+        anchors = jnp.asarray(anchors)
+        P = anchors.shape[0]
+        scores = jax.nn.softmax(
+            outs['cls'][-1].astype(jnp.float32).reshape(B, P, C1),
+            axis=-1)[..., 1:]
+        reg = outs['bbox'][-1].astype(jnp.float32).reshape(B, P, 4)
+        anc = jnp.broadcast_to(anchors[None], (B, P, 4))
+        if cfg.nms_pre > 0 and P > cfg.nms_pre:
+            max_scores = scores.max(axis=-1)
+            _, topk = jax.lax.top_k(max_scores, cfg.nms_pre)
+            take = lambda t: jnp.take_along_axis(t, topk[..., None], axis=1)
+            scores, reg, anc = take(scores), take(reg), take(anc)
+        boxes = delta2bbox(anc, reg, stds=target_stds)
+        w = img_hw[:, 1][:, None]
+        h = img_hw[:, 0][:, None]
+        boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                           jnp.clip(boxes[..., 1], 0, h),
+                           jnp.clip(boxes[..., 2], 0, w),
+                           jnp.clip(boxes[..., 3], 0, h)], axis=-1)
+        mlvl_scores.append(scores)
+        mlvl_bboxes.append(boxes)
+
+    scores = jnp.concatenate(mlvl_scores, axis=1)
+    boxes = jnp.concatenate(mlvl_bboxes, axis=1) / scale_factor[:, None, None]
+    dummy_kpts = jnp.zeros((B, boxes.shape[1], 3), boxes.dtype)
+
+    def nms_one(b, s, k):
+        return multiclass_nms_kp(
+            b, s, k, cfg.score_thr, cfg.nms_iou_thr,
+            max_per_class=cfg.max_per_class, max_per_img=cfg.max_per_img,
+            nms_type=cfg.nms_type, soft_sigma=cfg.soft_nms_sigma,
+            soft_min_score=cfg.soft_nms_min_score)
+
+    det_bboxes, det_labels, det_kpts, valid = jax.vmap(nms_one)(
+        boxes, scores, dummy_kpts)
+    return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
+            'det_kpts': det_kpts, 'valid': valid}

@@ -45,6 +45,40 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
 
             fns[tuple(canvas)] = jax.jit(predict)
             continue
+        if cfg.head.type == 'GARetinaHead':
+            from kgdet_tpu.core.ga_loss import decode_detections_ga
+
+            def predict(variables, batch, canvas=canvas):
+                outs = model.apply(variables, batch['image'])
+                return decode_detections_ga(
+                    outs, cfg.head, canvas, batch['img_hw'],
+                    batch['scale_factor'], cfg.test)
+
+            fns[tuple(canvas)] = jax.jit(predict)
+            continue
+        if cfg.head.type == 'SSDHead':
+            from kgdet_tpu.core.anchor_loss import decode_detections_ssd
+            from kgdet_tpu.models.ssd_head import SSDHead
+            from kgdet_tpu.ops.anchors import grid_anchors
+            head = SSDHead(
+                num_classes=cfg.head.num_classes,
+                anchor_strides=cfg.head.point_strides,
+                input_size=cfg.head.ssd_input_size,
+                basesize_ratio_range=cfg.head.ssd_basesize_ratio_range,
+                anchor_ratios=cfg.head.ssd_anchor_ratios)
+            anchors = [grid_anchors(base, canvas[0] // s, canvas[1] // s, s)
+                       for base, s in zip(head.base_anchors_per_level(),
+                                          cfg.head.point_strides)]
+
+            def predict(variables, batch, anchors=anchors):
+                outs = model.apply(variables, batch['image'])
+                return decode_detections_ssd(
+                    outs, anchors, batch['img_hw'], batch['scale_factor'],
+                    cfg.test, num_classes=cfg.head.num_classes,
+                    target_stds=cfg.head.target_stds)
+
+            fns[tuple(canvas)] = jax.jit(predict)
+            continue
         if cfg.head.type == 'FCOSHead':
             from kgdet_tpu.core.fcos_loss import decode_detections_fcos
             grids = build_level_geometry(cfg, canvas)

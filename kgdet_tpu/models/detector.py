@@ -104,6 +104,30 @@ class KGDetDetector(nn.Module):
             feats = backbone(images)
             pyramid = neck(feats)
             return head(pyramid)
+        if head_type == 'GARetinaHead':
+            from kgdet_tpu.models.ga_head import GARetinaHead
+            HEADS._map.setdefault('GARetinaHead', GARetinaHead)
+            head = GARetinaHead(
+                num_classes=cfg.head.num_classes,
+                in_channels=cfg.neck.out_channels,
+                feat_channels=cfg.head.feat_channels,
+                stacked_convs=cfg.head.stacked_convs,
+                anchor_strides=cfg.head.point_strides,
+                norm=cfg.head.norm, gn_groups=cfg.head.gn_groups,
+                dtype=dtype, name='head')
+            return head(neck(backbone(images)))
+        if head_type == 'SSDHead':
+            from kgdet_tpu.models.ssd_head import SSDHead
+            HEADS._map.setdefault('SSDHead', SSDHead)
+            head = SSDHead(
+                num_classes=cfg.head.num_classes,
+                in_channels=cfg.neck.out_channels,
+                anchor_strides=cfg.head.point_strides,
+                input_size=cfg.head.ssd_input_size,
+                basesize_ratio_range=cfg.head.ssd_basesize_ratio_range,
+                anchor_ratios=cfg.head.ssd_anchor_ratios,
+                dtype=dtype, name='head')
+            return head(neck(backbone(images)))
         if head_type == 'ParallelKpHead':
             head_cls = HEADS.get('SerialKpHead')
             head_kwargs.update(parallel=True, num_reppts=cfg.head.num_reppts)

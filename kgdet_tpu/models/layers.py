@@ -49,8 +49,16 @@ class FrozenBatchNorm(nn.Module):
                              lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable('batch_stats', 'var',
                             lambda: jnp.ones((c,), jnp.float32))
+        # per-channel input moments for offline stat calibration
+        # (utils/bn_calibration.py); a no-op unless 'intermediates' is
+        # mutable in the apply call
+        xf = x.astype(jnp.float32)
+        self.sow('intermediates', 'in_mean',
+                 xf.mean(axis=tuple(range(x.ndim - 1))))
+        self.sow('intermediates', 'in_var',
+                 xf.var(axis=tuple(range(x.ndim - 1))))
         inv = lax.rsqrt(var.value + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean.value) * inv + bias
+        y = (xf - mean.value) * inv + bias
         return y.astype(self.dtype)
 
 

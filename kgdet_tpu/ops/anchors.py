@@ -52,3 +52,45 @@ def anchor_valid_flags(feat_h: int, feat_w: int, num_anchors: int,
     col = jnp.arange(feat_w)[None, :] < valid_w
     flags = (row & col).reshape(-1)
     return jnp.repeat(flags, num_anchors)
+
+
+def ssd_anchor_params(input_size: int, num_levels: int,
+                      basesize_ratio_range) -> tuple:
+    """Per-level (min_size, max_size) lists for SSD anchors.
+
+    Parity: reference ssd_head.py:50-73 — evenly stepped size ratios over
+    basesize_ratio_range for levels 1..N-1, plus the special first-level
+    sizes for the canonical SSD300/512 recipes.
+    """
+    lo, hi = basesize_ratio_range
+    min_ratio, max_ratio = int(lo * 100), int(hi * 100)
+    step = int(np.floor(max_ratio - min_ratio) / (num_levels - 2))
+    min_sizes, max_sizes = [], []
+    for r in range(min_ratio, max_ratio + 1, step):
+        min_sizes.append(int(input_size * r / 100))
+        max_sizes.append(int(input_size * (r + step) / 100))
+    first = {
+        (300, 0.15): (7, 15), (300, 0.2): (10, 20),
+        (512, 0.1): (4, 10), (512, 0.15): (7, 15),
+    }.get((input_size, lo))
+    if first is None:
+        # generic fallback: half the second level's ratio band
+        first = (max(min_ratio // 2, 1), min_ratio)
+    min_sizes.insert(0, int(input_size * first[0] / 100))
+    max_sizes.insert(0, int(input_size * first[1] / 100))
+    return min_sizes[:num_levels], max_sizes[:num_levels]
+
+
+def ssd_base_anchors(min_size: float, max_size: float, stride: int,
+                     ratios) -> np.ndarray:
+    """(2 + 2*len(ratios), 4) SSD base anchors for one level, in the
+    reference's order (ssd_head.py:74-90 index_select): ratio-1 at
+    min_size, ratio-1 at sqrt(min*max), then (1/r, r) pairs at min_size."""
+    ctr = ((stride - 1) / 2.0, (stride - 1) / 2.0)
+    rows = [base_anchors(min_size, [1.0], [1.0], ctr)[0],
+            base_anchors(min_size, [float(np.sqrt(max_size / min_size))],
+                         [1.0], ctr)[0]]
+    for r in ratios:
+        rows.append(base_anchors(min_size, [1.0], [1.0 / r], ctr)[0])
+        rows.append(base_anchors(min_size, [1.0], [float(r)], ctr)[0])
+    return np.stack(rows)

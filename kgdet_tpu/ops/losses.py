@@ -160,3 +160,37 @@ def mse_loss(pred, target, weights=None, avg_factor=None):
     if avg_factor is None:
         return loss.mean()
     return loss.sum() / avg_factor
+
+
+def bounded_iou_loss(pred, target, weights=None, beta=0.2, eps=1e-3,
+                     avg_factor=None):
+    """Bounded IoU loss on xyxy boxes (reference mmdet losses/iou_loss.py
+    bounded_iou_loss): per-coordinate bounded terms for center offset and
+    size ratio, smooth-L1-composed with threshold beta.
+    """
+    pred_ctrx = (pred[..., 0] + pred[..., 2]) * 0.5
+    pred_ctry = (pred[..., 1] + pred[..., 3]) * 0.5
+    pred_w = pred[..., 2] - pred[..., 0] + 1
+    pred_h = pred[..., 3] - pred[..., 1] + 1
+    t_ctrx = (target[..., 0] + target[..., 2]) * 0.5
+    t_ctry = (target[..., 1] + target[..., 3]) * 0.5
+    t_w = target[..., 2] - target[..., 0] + 1
+    t_h = target[..., 3] - target[..., 1] + 1
+
+    dx = t_ctrx - pred_ctrx
+    dy = t_ctry - pred_ctry
+    loss_dx = 1 - jnp.maximum(
+        (t_w - 2 * jnp.abs(dx)) / (t_w + 2 * jnp.abs(dx) + eps), 0)
+    loss_dy = 1 - jnp.maximum(
+        (t_h - 2 * jnp.abs(dy)) / (t_h + 2 * jnp.abs(dy) + eps), 0)
+    loss_dw = 1 - jnp.minimum(t_w / (pred_w + eps), pred_w / (t_w + eps))
+    loss_dh = 1 - jnp.minimum(t_h / (pred_h + eps), pred_h / (t_h + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
+    if weights is not None:
+        loss = loss * weights
+    loss = loss.sum()
+    if avg_factor is not None:
+        loss = loss / jnp.maximum(avg_factor, 1.0)
+    return loss

@@ -153,6 +153,38 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
         ra = cfg.refine_assigner or cfg.assigner
         return retina_loss(outs, anchors, avalids, batch, cfg.head, ra)
 
+    if cfg.head.type == 'GARetinaHead':
+        from kgdet_tpu.core.ga_loss import ga_loss
+        ra = cfg.refine_assigner or cfg.assigner
+        return ga_loss(outs, batch, cfg.head, ra, canvas_hw)
+
+    if cfg.head.type == 'SSDHead':
+        from kgdet_tpu.core.anchor_loss import ssd_loss
+        from kgdet_tpu.models.ssd_head import SSDHead
+        from kgdet_tpu.ops.anchors import anchor_valid_flags, grid_anchors
+        H, W = canvas_hw
+        head = SSDHead(
+            num_classes=cfg.head.num_classes,
+            anchor_strides=cfg.head.point_strides,
+            input_size=cfg.head.ssd_input_size,
+            basesize_ratio_range=cfg.head.ssd_basesize_ratio_range,
+            anchor_ratios=cfg.head.ssd_anchor_ratios)
+        anchors, avalids = [], []
+        for base, stride, A in zip(head.base_anchors_per_level(),
+                                   cfg.head.point_strides,
+                                   head.num_anchors_per_level()):
+            fh, fw = H // stride, W // stride
+            anchors.append(grid_anchors(base, fh, fw, stride))
+            vh = jnp.ceil(batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
+            vw = jnp.ceil(batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
+            avalids.append(jax.vmap(
+                lambda a, b, fh=fh, fw=fw, A=A: anchor_valid_flags(
+                    fh, fw, A, a, b))(vh, vw))
+        ra = cfg.refine_assigner or cfg.assigner
+        return ssd_loss(outs, anchors, avalids, batch, cfg.head, ra,
+                        neg_pos_ratio=cfg.head.ssd_neg_pos_ratio,
+                        target_stds=cfg.head.target_stds)
+
     if cfg.head.type == 'FCOSHead':
         from kgdet_tpu.core.fcos_loss import fcos_loss
         return fcos_loss(outs, grids, valids, batch, cfg.head)

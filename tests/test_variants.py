@@ -295,3 +295,28 @@ def test_gen_attention_stage_and_converter():
     cb = params['backbone']['layer1/0']['context_block']
     assert cb['conv_mask']['kernel'].shape == (1, 1, 64, 1)
     assert cb['channel_add_ln']['scale'].shape == (4,)
+
+
+def test_frozen_bn_calibration():
+    """Stat calibration: BN inputs get real moments; passes converge."""
+    from kgdet_tpu.utils.bn_calibration import calibrate_frozen_bn
+    from tests.common import tiny_cfg
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    rng = np.random.RandomState(0)
+    batches = [rng.randn(2, CANVAS[0], CANVAS[1], 3).astype(np.float32) * 3
+               for _ in range(2)]
+    cal, n = calibrate_frozen_bn(model, variables, batches, passes=3)
+    assert n > 10
+    # stem BN now holds the stem conv's real output stats, not (0, 1)
+    m = np.asarray(cal['batch_stats']['backbone']['bn1']['mean'])
+    v = np.asarray(cal['batch_stats']['backbone']['bn1']['var'])
+    assert np.abs(m).max() > 1e-3 and np.abs(v - 1).max() > 1e-3
+    # converged: one more pass barely moves the stats
+    cal2, _ = calibrate_frozen_bn(model, cal, batches, passes=1)
+    m2 = np.asarray(cal2['batch_stats']['backbone']['bn1']['mean'])
+    np.testing.assert_allclose(m2, m, rtol=1e-4, atol=1e-5)
+    # model still applies cleanly with the calibrated stats
+    out = jax.jit(model.apply)(cal, jnp.asarray(batches[0]))
+    assert np.isfinite(np.asarray(out[0]['cls'])).all()

@@ -34,12 +34,38 @@ def main():
 
     import jax
 
+    from kgdet_tpu.api import build_model, init_variables
     from kgdet_tpu.config import load_config
+    from kgdet_tpu.data.dataset import DeepFashion2Dataset
+    from kgdet_tpu.data.loader import DataLoader
     from kgdet_tpu.runner import Runner
+    from kgdet_tpu.utils.bn_calibration import calibrate_frozen_bn
 
     cfg = load_config(args.config)
+
+    # from-scratch run: calibrate the frozen BN stats on real batches first
+    # (frozen identity stats leave the trunk unnormalized and the run
+    # diverges — see utils/bn_calibration.py)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+    ds = DeepFashion2Dataset(cfg.train_data, train=True)
+    loader = DataLoader(ds, cfg.train_data.batch_size, train=True, seed=0,
+                        num_workers=2)
+    images, shape0 = [], None
+    for b in loader:
+        if shape0 is None:
+            shape0 = b['image'].shape
+        if b['image'].shape == shape0:
+            images.append(b['image'])
+        if len(images) >= 4:
+            break
+    variables, n_cal = calibrate_frozen_bn(model, variables, images,
+                                           passes=3)
+    print(f'[proof] calibrated {n_cal} BN layers on {len(images)} batches',
+          flush=True)
+
     runner = Runner(cfg, work_dir=args.work_dir, log_interval=16)
-    runner.setup()
+    runner.setup(init_from_variables=variables)
     print(f'[proof] {len(runner.train_dataset)} images, '
           f'{runner.steps_per_epoch} steps/epoch', flush=True)
 
