@@ -127,6 +127,112 @@ def kernel_check():
     return ok
 
 
+TRAIN_BASELINE_IPS = 5.7   # 0.353 s/iter on 8x V100 at 2 img/GPU
+                           # (reference MODEL_ZOO.md:59-66) => img/s per GPU
+
+
+def train_bench(batch=8):
+    """--train: full KGDet train-step throughput (img/s/chip) at the given
+    per-chip batch on the 768x1344 canvas."""
+    import numpy as np
+
+    from kgdet_tpu.api import build_model, init_variables
+    from kgdet_tpu.config import KGDetConfig
+    from kgdet_tpu.parallel.train import make_optimizer, make_train_step
+
+    cfg = KGDetConfig(compute_dtype='bfloat16')
+    canvas = (768, 1344)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=(64, 64))
+    params, stats = variables['params'], variables['batch_stats']
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=1000)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, canvas, tx),
+                   donate_argnums=(0, 2))
+
+    rng = np.random.RandomState(0)
+    G, K = 16, cfg.head.num_keypts
+    feeds = []
+    for _ in range(8):
+        boxes = np.zeros((batch, G, 4), np.float32)
+        boxes[..., 2:] = rng.uniform(64, 400, (batch, G, 2))
+        boxes[..., :2] = rng.uniform(0, 300, (batch, G, 2))
+        boxes[..., 2:] += boxes[..., :2]
+        kpts = rng.uniform(0, 700, (batch, G, K, 3)).astype(np.float32)
+        kpts[..., 2] = 1
+        feeds.append({
+            'image': jnp.asarray(rng.randn(
+                batch, canvas[0], canvas[1], 3).astype(np.float32)),
+            'valid_hw': jnp.tile(jnp.asarray([[750, 1333]], jnp.int32),
+                                 (batch, 1)),
+            'gt_bboxes': jnp.asarray(boxes),
+            'gt_labels': jnp.asarray(
+                rng.randint(1, 14, (batch, G)).astype(np.int32)),
+            'gt_kpts': jnp.asarray(kpts),
+            'gt_mask': jnp.asarray(np.ones((batch, G), bool)),
+        })
+    jax.block_until_ready(feeds)
+
+    params, opt_state, logs = step(params, stats, opt_state, feeds[0])
+    jax.block_until_ready(logs['loss'])
+
+    n_iters = 12
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, logs = step(params, stats, opt_state,
+                                       feeds[i % len(feeds)])
+    jax.block_until_ready(logs['loss'])
+    dt = time.perf_counter() - t0
+    ips = n_iters * batch / dt
+    print(json.dumps({
+        'metric': f'kgdet_train_throughput_768x1344_b{batch}',
+        'value': round(ips, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(ips / TRAIN_BASELINE_IPS, 2),
+    }))
+
+
+def serial_bench():
+    """--serial: serial-head (5-level, stride-8..128) inference throughput
+    — exercises the channel-tiled Pallas path on the stride-8/16 levels."""
+    import numpy as np
+
+    from kgdet_tpu.api import build_model, init_variables
+    from kgdet_tpu.config import load_config
+
+    cfg = load_config(
+        'configs/reppoints_moment_serial_r50_fpn_1x_deepfashion2.py')
+    cfg = cfg.replace(compute_dtype='bfloat16')
+    from kgdet_tpu.api import make_predict_fn
+    model = build_model(cfg)
+    canvas = (768, 1344)
+    batch = 4
+    variables = init_variables(model, cfg, canvas_hw=(64, 64))
+    predict = make_predict_fn(model, cfg, canvas)
+
+    rng = np.random.RandomState(0)
+    feeds = [{
+        'image': jnp.asarray(rng.randn(
+            batch, canvas[0], canvas[1], 3).astype(np.float32)),
+        'img_hw': jnp.tile(jnp.array([[750, 1333]], jnp.float32),
+                           (batch, 1)),
+        'scale_factor': jnp.ones((batch,), jnp.float32),
+    } for _ in range(10)]
+    jax.block_until_ready(feeds)
+    jax.block_until_ready(predict(variables, feeds[0]))
+    t0 = time.perf_counter()
+    outs = [predict(variables, f) for f in feeds]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    fps = len(feeds) * batch / dt
+    print(json.dumps({
+        'metric': 'serial_reppoints_inference_throughput_768x1344',
+        'value': round(fps, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(fps / BASELINE_FPS, 2),
+    }))
+
+
 def main():
     from kgdet_tpu.api import build_model, init_variables, make_predict_fn
     from kgdet_tpu.config import KGDetConfig
@@ -177,4 +283,9 @@ def main():
 if __name__ == '__main__':
     if '--check' in sys.argv:
         sys.exit(0 if kernel_check() else 1)
-    main()
+    if '--train' in sys.argv:
+        train_bench()
+    elif '--serial' in sys.argv:
+        serial_bench()
+    else:
+        main()

@@ -29,7 +29,7 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
     fns = {}
     for canvas in canvases:
         if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
-                                 'cascade_rcnn'):
+                                 'cascade_rcnn', 'double_head_rcnn'):
             from kgdet_tpu.core.two_stage_loss import (
                 decode_cascade_detections, decode_rcnn_detections)
             decode = (decode_cascade_detections

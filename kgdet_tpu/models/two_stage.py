@@ -162,6 +162,101 @@ class ConvFCBBoxHead(nn.Module):
         return cls, reg
 
 
+class _BasicResBlock(nn.Module):
+    """3x3 + 1x1 residual projection block (double_bbox_head.py:10-70).
+
+    GroupNorm stands in for the reference's BatchNorm: RoI-head BN depends
+    on the sampled-proposal batch statistics, which a pure jitted step
+    should not carry as mutable state; GN is the standard substitute.
+    """
+    out_channels: int
+    gn_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        gn = lambda n: nn.GroupNorm(
+            num_groups=min(self.gn_groups, C), dtype=self.dtype, name=n)
+        h = nn.relu(gn('gn1')(nn.Conv(
+            C, (3, 3), padding='SAME', use_bias=False, dtype=self.dtype,
+            name='conv1')(x)))
+        h = nn.GroupNorm(num_groups=self.gn_groups, dtype=self.dtype,
+                         name='gn2')(nn.Conv(
+                             self.out_channels, (1, 1), use_bias=False,
+                             dtype=self.dtype, name='conv2')(h))
+        idn = nn.GroupNorm(num_groups=self.gn_groups, dtype=self.dtype,
+                           name='gn_identity')(nn.Conv(
+                               self.out_channels, (1, 1), dtype=self.dtype,
+                               name='conv_identity')(x))
+        return nn.relu(h + idn)
+
+
+class _ResBottleneck(nn.Module):
+    """1x1-3x3-1x1 bottleneck for the double-head conv branch."""
+    planes: int
+    gn_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        gn = lambda n, g=self.gn_groups: nn.GroupNorm(
+            num_groups=g, dtype=self.dtype, name=n)
+        h = nn.relu(gn('gn1', min(self.gn_groups, self.planes))(nn.Conv(
+            self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+            name='conv1')(x)))
+        h = nn.relu(gn('gn2', min(self.gn_groups, self.planes))(nn.Conv(
+            self.planes, (3, 3), padding='SAME', use_bias=False,
+            dtype=self.dtype, name='conv2')(h)))
+        h = gn('gn3')(nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype,
+                              name='conv3')(h))
+        return nn.relu(h + x)
+
+
+class DoubleConvFCBBoxHead(nn.Module):
+    """Double-head RoI box head: conv branch for regression, fc branch for
+    classification (reference double_bbox_head.py:73-180 /
+    detectors/double_head_rcnn.py)."""
+    num_classes: int = 13
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_out_channels: int = 1024
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        lead = roi_feats.shape[:-3]
+        r, _, C = roi_feats.shape[-3:]
+        x = roi_feats.reshape((-1,) + roi_feats.shape[-3:])
+
+        # conv (regression) branch
+        xc = _BasicResBlock(self.conv_out_channels, dtype=self.dtype,
+                            name='res_block')(x)
+        for i in range(self.num_convs):
+            xc = _ResBottleneck(self.conv_out_channels // 4,
+                                dtype=self.dtype,
+                                name=f'conv_branch_{i}')(xc)
+        xc = xc.mean(axis=(1, 2))                  # global average pool
+        reg_dim = 4 if self.reg_class_agnostic \
+            else 4 * (self.num_classes + 1)
+        reg = nn.Dense(reg_dim, kernel_init=normal_init(0.001),
+                       dtype=self.dtype, name='fc_reg')(xc)
+
+        # fc (classification) branch
+        xf = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            xf = nn.relu(nn.Dense(
+                self.fc_out_channels,
+                kernel_init=nn.initializers.xavier_uniform(),
+                dtype=self.dtype, name=f'fc_branch_{i}')(xf))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=normal_init(0.01),
+                       dtype=self.dtype, name='fc_cls')(xf)
+        return cls.reshape(lead + (-1,)), reg.reshape(lead + (-1,))
+
+
 class CascadeRCNN(nn.Module):
     """Cascade R-CNN: shared RPN + N RoI box heads with rising IoU regimes.
 
@@ -286,9 +381,14 @@ class FasterRCNN(nn.Module):
                       feat_channels=cfg.neck.out_channels,
                       num_anchors=len(cfg.head.anchor_ratios), dtype=dtype,
                       name='rpn_head')
-        bbox_head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
-                                   in_channels=cfg.neck.out_channels,
-                                   dtype=dtype, name='bbox_head')
+        if cfg.detector_type == 'double_head_rcnn':
+            bbox_head = DoubleConvFCBBoxHead(
+                num_classes=cfg.head.num_classes, dtype=dtype,
+                name='bbox_head')
+        else:
+            bbox_head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
+                                       in_channels=cfg.neck.out_channels,
+                                       dtype=dtype, name='bbox_head')
 
         feats = neck(backbone(images))
         rpn_outs = rpn(feats)

@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument('--validate', action='store_true')
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--max-epochs', type=int, default=None)
+    p.add_argument('--autoscale-lr', action='store_true',
+                   help='scale lr by global_batch/16 (the reference scales '
+                        'by GPUs/8 at 2 imgs/GPU; reference train.py:67)')
     p.add_argument('--log-interval', type=int, default=50)
     p.add_argument('--distributed', action='store_true',
                    help='call jax.distributed.initialize() (multi-host)')
@@ -51,6 +54,13 @@ def main():
         cfg = cfg.replace(seed=args.seed)
     if args.work_dir is not None:
         cfg = cfg.replace(work_dir=args.work_dir)
+    if args.autoscale_lr:
+        import dataclasses
+        scale = cfg.train_data.batch_size / 16
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, lr=cfg.optim.lr * scale))
+        if jax.process_index() == 0:
+            print(f'[train] autoscaled lr x{scale:g} -> {cfg.optim.lr:g}')
 
     init_vars = None
     if args.load_pth:

@@ -33,15 +33,19 @@ def _collect(inter, batch_stats, out, path=()):
             _collect(v, batch_stats, out, path + (k,))
 
 
-def calibrate_frozen_bn(model, variables, batches, passes: int = 3,
+def calibrate_frozen_bn(model, variables, batches, passes: int = 1,
                         apply_kwargs=None):
     """Return variables with batch_stats set to real activation moments.
 
     batches: sequence of image arrays (each (B, H, W, 3), already
     normalized like training inputs). Moments are pooled over all batches.
-    Multiple passes re-measure with the previous pass's stats applied
-    (earlier layers' calibration changes later layers' input
-    distributions); 2-3 passes converge.
+
+    passes > 1 re-measures with the previous pass's stats applied. On
+    shallow nets this refines the stats, but on a deep residual trunk the
+    feedback DIVERGES (measured on R50: pass-2 variances blow up to ~1e11,
+    pass-3 collapses to the floor and the forward goes NaN) — the default
+    single pass already fixes the gross scale problem and yields a finite,
+    well-ranged forward.
     """
     applied = 0
     for _ in range(max(passes - 1, 0)):

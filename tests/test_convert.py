@@ -261,3 +261,20 @@ def test_roi_flat_fc_kernel_permutation():
 
     got = feat.reshape(2, -1) @ _roi_flat_fc_kernel(w, roi=r)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_upgrade_model_version_renames():
+    from kgdet_tpu.tools.upgrade_model_version import upgrade_state_dict
+    state = {
+        'bbox_head.cls_convs.0.weight': np.zeros((1,)),
+        'bbox_head.cls_convs.0.bias': np.zeros((1,)),
+        'bbox_head.reg_convs.2.weight': np.zeros((1,)),
+        'bbox_head.cls_convs.0.gn.weight': np.zeros((1,)),
+        'backbone.conv1.weight': np.zeros((1,)),
+    }
+    out, n = upgrade_state_dict(state)
+    assert n == 3
+    assert 'bbox_head.cls_convs.0.conv.weight' in out
+    assert 'bbox_head.reg_convs.2.conv.weight' in out
+    assert 'backbone.conv1.weight' in out
+    assert 'bbox_head.cls_convs.0.gn.weight' in out

@@ -245,3 +245,32 @@ def test_faster_rcnn_balanced_samplers_train(sampler):
     batch['seed'] = jnp.int32(13)
     _, _, logs = step(params, stats, opt_state, batch)
     assert np.isfinite(float(logs['loss_cls'])), sampler
+
+
+def test_double_head_rcnn_train_and_predict():
+    cfg = frcnn_cfg().replace(detector_type='double_head_rcnn')
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    params, stats = variables['params'], variables['batch_stats']
+    head = params['bbox_head']
+    assert 'res_block' in head and 'conv_branch_0' in head
+    assert 'fc_branch_0' in head and 'fc_branch_1' in head
+    assert head['fc_reg']['kernel'].shape == (1024, 14 * 4)
+    assert head['fc_cls']['kernel'].shape == (1024, 14)
+
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    batch['seed'] = jnp.int32(17)
+    params2, _, logs = step(params, stats, opt_state, batch)
+    for k in ('loss_cls', 'loss_bbox'):
+        assert np.isfinite(float(logs[k])), k
+
+    predict = make_predict_fns(model, cfg, [CANVAS])[tuple(CANVAS)]
+    dets = predict({'params': params2, 'batch_stats': stats}, {
+        'image': jnp.zeros((2, CANVAS[0], CANVAS[1], 3)),
+        'img_hw': jnp.asarray([[60., 90.], [64., 96.]]),
+        'scale_factor': jnp.asarray([1.0, 1.0]),
+    })
+    assert np.isfinite(np.asarray(dets['det_bboxes'])).all()

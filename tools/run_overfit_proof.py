@@ -60,7 +60,7 @@ def main():
         if len(images) >= 4:
             break
     variables, n_cal = calibrate_frozen_bn(model, variables, images,
-                                           passes=3)
+                                           passes=1)
     print(f'[proof] calibrated {n_cal} BN layers on {len(images)} batches',
           flush=True)
 
