@@ -119,15 +119,21 @@ class DeepFashion2Dataset:
             labels.append(self.cat2label[ann['category_id']])
             kp = np.asarray(ann.get('keypoints', []), dtype=np.float32)
             if kp.size == 0:
-                kp = np.zeros((NUM_KEYPOINTS, 3), np.float32)
+                kp = np.zeros((self.num_keypoints, 3), np.float32)
             else:
                 kp = kp.reshape(-1, 3)
+            if kp.shape[0] != self.num_keypoints:
+                fixed = np.zeros((self.num_keypoints, 3), np.float32)
+                n_copy = min(kp.shape[0], self.num_keypoints)
+                fixed[:n_copy] = kp[:n_copy]
+                kp = fixed
             kpts.append(kp)
         ignore_arr = (np.asarray(ignore, np.float32) if ignore
                       else np.zeros((0, 4), np.float32))
         if not bboxes:
             return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int64),
-                    np.zeros((0, NUM_KEYPOINTS, 3), np.float32), ignore_arr)
+                    np.zeros((0, self.num_keypoints, 3), np.float32),
+                    ignore_arr)
         return (np.asarray(bboxes, np.float32),
                 np.asarray(labels, np.int64),
                 np.stack(kpts).astype(np.float32), ignore_arr)
@@ -138,6 +144,11 @@ class DeepFashion2Dataset:
         if img is None:
             raise FileNotFoundError(path)
         return img
+
+    def flip_kpts(self, kpts, labels, img_w):
+        """Horizontal keypoint flip hook; subclasses with other keypoint
+        layouts override with their own pair tables."""
+        return flip_keypoints(kpts, labels, img_w)
 
     def canvas_for_flag(self, flag: int) -> Tuple[int, int]:
         """Landscape images (flag 1) -> short-side-height canvas."""
@@ -210,7 +221,7 @@ class DeepFashion2Dataset:
             img = img[:, ::-1]
             bboxes = flip_bboxes(bboxes, rw)
             if self.with_keypoints:
-                kpts = flip_keypoints(kpts, labels, rw)
+                kpts = self.flip_kpts(kpts, labels, rw)
             if len(ignore):
                 ignore = flip_bboxes(ignore, rw)
 

@@ -62,8 +62,16 @@ def points2bbox(pts, method='moment', moment_transfer=None, moment_mul=0.01,
     if method == 'moment':
         mean_x = pts_x.mean(-1)
         mean_y = pts_y.mean(-1)
-        std_x = jnp.std(pts_x, axis=-1, ddof=1)
-        std_y = jnp.std(pts_y, axis=-1, ddof=1)
+        # eps inside the sqrt: d(std)/d(pts) = (pts - mean)/((n-1) std)
+        # blows up when a point set collapses (std -> 0), which a
+        # from-scratch run can hit — observed as loss NaN at epoch 40 of
+        # the demo overfit. 1e-6 bounds the gradient at ~5e2 while
+        # perturbing real stds (~1) by < 1e-6.
+        nb = pts_x.shape[-1] - 1
+        var_x = jnp.sum((pts_x - mean_x[..., None]) ** 2, -1) / nb
+        var_y = jnp.sum((pts_y - mean_y[..., None]) ** 2, -1) / nb
+        std_x = jnp.sqrt(var_x + 1e-6)
+        std_y = jnp.sqrt(var_y + 1e-6)
         mt = (moment_transfer * moment_mul
               + jax.lax.stop_gradient(moment_transfer) * (1 - moment_mul))
         half_w = std_x * jnp.exp(mt[0])

@@ -132,3 +132,49 @@ def test_min_size_moves_small_boxes_to_ignore(tmp_path):
     ds = VOCDataset(cfg, train=True, min_size=10)
     b, l, _, ignore = ds.parse_annotations('a')
     assert len(b) == 1 and len(ignore) == 1
+
+
+def test_coco_variant_datasets(tmp_path):
+    """Cityscapes (no kpts) + DeepFashion-3class (8 kpts, flip pairs)."""
+    import json
+    from kgdet_tpu.data.coco_variants import (
+        CityscapesDataset, DeepFashionDataset)
+
+    tmpdir = str(tmp_path)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (100, 150, 3), np.uint8)
+    cv2.imwrite(os.path.join(tmpdir, 'i.jpg'), img)
+    kpts = np.zeros((8, 3), np.float32)
+    kpts[:, 0] = np.arange(8) * 10 + 20
+    kpts[:, 1] = 30
+    kpts[:, 2] = 2
+    data = {
+        'images': [{'id': 1, 'file_name': 'i.jpg',
+                    'width': 150, 'height': 100}],
+        'annotations': [{'id': 1, 'image_id': 1, 'category_id': 1,
+                         'bbox': [10.0, 10.0, 80.0, 60.0], 'area': 4800.0,
+                         'iscrowd': 0,
+                         'keypoints': kpts.reshape(-1).tolist()}],
+        'categories': [{'id': c, 'name': f'c{c}'} for c in (1, 2, 3)],
+    }
+    ann = os.path.join(tmpdir, 'ann.json')
+    json.dump(data, open(ann, 'w'))
+    cfg = DataConfig(ann_file=ann, img_prefix=tmpdir, img_scale=(150, 100),
+                     max_gts=4, flip_ratio=1.0, canvas_hw=((96, 160),))
+
+    cs = CityscapesDataset(cfg, train=True)
+    s = cs.prepare_train(0, np.random.RandomState(0))
+    assert s['gt_kpts'].shape == (4, 1, 3)
+    assert cs.class_names[0] == 'person'
+
+    df = DeepFashionDataset(cfg, train=True)
+    s = df.prepare_train(0, np.random.RandomState(0))
+    assert s['gt_kpts'].shape == (4, 8, 3)
+    # flip_ratio=1: class-1 pairs (0,1),(2,3),(6,7) swapped, (4,5) not
+    k = s['gt_kpts'][0]
+    sf = s['gt_bboxes'][0][2] / 89.0    # resized scale via box x2
+    xs_orig = kpts[:, 0]
+    rw = s['valid_hw'][1]
+    flipped_x = rw - xs_orig * (rw / 150.0) - 1
+    np.testing.assert_allclose(k[0, 0], flipped_x[1], atol=1.5)
+    np.testing.assert_allclose(k[4, 0], flipped_x[4], atol=1.5)
