@@ -198,8 +198,11 @@ class KGDetConfig:
     train_data: DataConfig = field(default_factory=DataConfig)
     val_data: DataConfig = field(default_factory=DataConfig)
     compute_dtype: str = 'float32'   # 'float32' | 'bfloat16'
-    # 'single_stage' | 'faster_rcnn' | 'mask_rcnn'
+    # 'single_stage' | 'faster_rcnn' | 'mask_rcnn' | 'cascade_rcnn'
+    # | 'double_head_rcnn'
     detector_type: str = 'single_stage'
+    # two-stage proposal network: 'rpn' | 'ga_rpn' (guided anchoring)
+    rpn_type: str = 'rpn'
     # two-stage proposal budget (fixed shapes)
     num_proposals_train: int = 512
     num_proposals_test: int = 1000

@@ -112,12 +112,13 @@ def ga_loc_targets(gt_bboxes, gt_mask, strides, featmap_sizes,
     return targets, weights, avg
 
 
-def ga_loss(level_outs: List[Dict], batch, head_cfg: HeadConfig,
-            assign_cfg, canvas_hw, center_ratio=0.2, ignore_ratio=0.5,
-            anchoring_stds=ANCHORING_STDS, target_stds=(1.0, 1.0, 1.0, 1.0),
-            loc_weight=1.0, shape_weight=0.2):
-    """Total GA loss: loc focal + bounded-IoU shape + focal cls +
-    smooth-L1 reg on the guided anchors."""
+def ga_loc_shape_losses(level_outs, batch, head_cfg: HeadConfig,
+                        assign_cfg, canvas_hw, center_ratio=0.2,
+                        ignore_ratio=0.5, anchoring_stds=ANCHORING_STDS,
+                        shape_weight=0.2):
+    """Shared GA branches: loc focal loss, bounded-IoU shape loss, and the
+    decoded (detached) guided anchors + validity for downstream cls/reg.
+    Returns (l_loc, l_shape, guided (B, P, 4), valid (B, P))."""
     strides = head_cfg.point_strides
     H, W = canvas_hw
     featmap_sizes = [(H // s, W // s) for s in strides]
@@ -187,8 +188,20 @@ def ga_loss(level_outs: List[Dict], batch, head_cfg: HeadConfig,
         pred_anchors, gt_per_sq, weights=posf[..., None], beta=0.2,
         avg_factor=jnp.maximum(posf.sum(), 1.0)) * shape_weight
 
-    # ------------------------------------------- cls/reg on guided anchors
     guided = jax.lax.stop_gradient(pred_anchors)               # (B, P, 4)
+    return l_loc, l_shape, guided, valid
+
+
+def ga_loss(level_outs: List[Dict], batch, head_cfg: HeadConfig,
+            assign_cfg, canvas_hw, center_ratio=0.2, ignore_ratio=0.5,
+            anchoring_stds=ANCHORING_STDS, target_stds=(1.0, 1.0, 1.0, 1.0),
+            loc_weight=1.0, shape_weight=0.2):
+    """Total GA loss: loc focal + bounded-IoU shape + focal cls +
+    smooth-L1 reg on the guided anchors."""
+    B = batch['gt_bboxes'].shape[0]
+    l_loc, l_shape, guided, valid = ga_loc_shape_losses(
+        level_outs, batch, head_cfg, assign_cfg, canvas_hw, center_ratio,
+        ignore_ratio, anchoring_stds, shape_weight)
     cls = jnp.concatenate(
         [o['cls'][-1].astype(jnp.float32).reshape(
             B, -1, head_cfg.num_classes) for o in level_outs], axis=1)
@@ -293,3 +306,109 @@ def decode_detections_ga(level_outs, head_cfg: HeadConfig, canvas_hw,
         boxes, scores, dummy_kpts)
     return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
             'det_kpts': det_kpts, 'valid': valid}
+
+
+GA_RPN_TARGET_STDS = (0.07, 0.07, 0.11, 0.11)
+
+
+def ga_rpn_loss(level_outs, batch, head_cfg: HeadConfig, assign_cfg,
+                canvas_hw, rng, num_samples=256, pos_fraction=0.5,
+                pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+                target_stds=GA_RPN_TARGET_STDS):
+    """GA-RPN loss: shared loc/shape branches + binary objectness and
+    class-agnostic regression on the guided anchors with RPN-style
+    subsampling (parity: ga_rpn_head.py:35-58)."""
+    from kgdet_tpu.core.two_stage_loss import bce_loss, sample_pos_neg
+
+    B = batch['gt_bboxes'].shape[0]
+    l_loc, l_shape, guided, valid = ga_loc_shape_losses(
+        level_outs, batch, head_cfg, assign_cfg, canvas_hw)
+
+    cls = jnp.concatenate(
+        [o['cls'][-1].astype(jnp.float32).reshape(B, -1)
+         for o in level_outs], axis=1)
+    reg = jnp.concatenate(
+        [o['bbox'][-1].astype(jnp.float32).reshape(B, -1, 4)
+         for o in level_outs], axis=1)
+
+    def single(key, anc, v, gts, mask):
+        a = assign_max_iou(anc, v, gts, mask, pos_iou_thr, neg_iou_thr,
+                           min_pos_iou)
+        neg = v & ~a.pos_mask & ~a.ignore_mask
+        pos_sel, neg_sel = sample_pos_neg(
+            key, a.pos_mask, neg, num_samples, pos_fraction)
+        cls_t = pos_sel.astype(jnp.float32)
+        cls_w = (pos_sel | neg_sel).astype(jnp.float32)
+        deltas = bbox2delta(anc, gts[a.assigned_gt], stds=target_stds)
+        reg_w = pos_sel.astype(jnp.float32)[:, None]
+        return cls_t, cls_w, deltas, reg_w
+
+    keys = jax.random.split(rng, B)
+    cls_t, cls_w, deltas, reg_w = jax.vmap(single)(
+        keys, guided, valid, batch['gt_bboxes'], batch['gt_mask'])
+    avg = cls_w.sum()
+    l_cls = bce_loss(cls, cls_t, cls_w, avg)
+    l_reg = smooth_l1_loss(reg, deltas, reg_w, beta=1.0 / 9.0,
+                           avg_factor=jnp.maximum(avg, 1.0))
+    total = l_cls + l_reg + l_loc + l_shape
+    return total, {'loss_rpn_cls': l_cls, 'loss_rpn_bbox': l_reg,
+                   'loss_anchor_loc': l_loc, 'loss_anchor_shape': l_shape}
+
+
+def ga_rpn_proposals(level_outs, head_cfg: HeadConfig, canvas_hw, img_hw,
+                     nms_pre=1000, max_num=1000, nms_thr=0.7,
+                     min_bbox_size=0.0, loc_filter_thr=0.01,
+                     anchoring_stds=ANCHORING_STDS,
+                     target_stds=GA_RPN_TARGET_STDS):
+    """Decode GA-RPN outputs into fixed-size padded proposals (loc-filtered
+    guided anchors + deltas, per-level top-k, one greedy NMS).
+
+    Parity: ga_rpn_head.py get_bboxes_single, with the loc filter expressed
+    as a score mask instead of a gather (fixed shapes).
+    """
+    from kgdet_tpu.ops.nms import NEG_INF, greedy_nms
+
+    strides = head_cfg.point_strides
+    H, W = canvas_hw
+    B = level_outs[0]['cls'].shape[1]
+    lvl_boxes, lvl_scores = [], []
+    for o, s in zip(level_outs, strides):
+        fh, fw = H // s, W // s
+        squares = ga_squares(s, head_cfg.octave_base_scale, fh, fw)
+        P = squares.shape[0]
+        shape_pred = o['shape'][-1].astype(jnp.float32).reshape(B, P, 2)
+        loc = jax.nn.sigmoid(o['loc'][-1].astype(jnp.float32).reshape(B, P))
+        deltas0 = jnp.concatenate(
+            [jnp.zeros_like(shape_pred), shape_pred], axis=-1)
+        guided = jax.vmap(
+            lambda d: delta2bbox(squares, d, stds=anchoring_stds))(deltas0)
+        scores = jax.nn.sigmoid(
+            o['cls'][-1].astype(jnp.float32).reshape(B, P))
+        scores = jnp.where(loc >= loc_filter_thr, scores, 0.0)
+        reg = o['bbox'][-1].astype(jnp.float32).reshape(B, P, 4)
+        k = min(nms_pre, P)
+        top_scores, topk = jax.lax.top_k(scores, k)
+        take = lambda t: jnp.take_along_axis(t, topk[..., None], axis=1)
+        boxes = delta2bbox(take(guided), take(reg), stds=target_stds)
+        w = img_hw[:, 1][:, None]
+        h = img_hw[:, 0][:, None]
+        boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                           jnp.clip(boxes[..., 1], 0, h),
+                           jnp.clip(boxes[..., 2], 0, w),
+                           jnp.clip(boxes[..., 3], 0, h)], axis=-1)
+        ok = ((boxes[..., 2] - boxes[..., 0] > min_bbox_size)
+              & (boxes[..., 3] - boxes[..., 1] > min_bbox_size))
+        lvl_scores.append(jnp.where(ok, top_scores, NEG_INF))
+        lvl_boxes.append(boxes)
+
+    boxes = jnp.concatenate(lvl_boxes, axis=1)
+    scores = jnp.concatenate(lvl_scores, axis=1)
+
+    def one(b, sc):
+        keep_idx, keep_scores = greedy_nms(b, sc, nms_thr, max_num)
+        ok = keep_scores > NEG_INF / 2
+        safe = jnp.clip(keep_idx, 0, b.shape[0] - 1)
+        return (jnp.where(ok[:, None], b[safe], 0),
+                jnp.where(ok, keep_scores, 0), ok)
+
+    return jax.vmap(one)(boxes, scores)

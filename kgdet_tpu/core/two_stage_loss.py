@@ -227,21 +227,32 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
     return l_cls, l_reg, aux
 
 
-def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
-    """Total two-stage loss + logs (mask term when the model emits masks)."""
+def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
+                     canvas_hw=None):
+    """Total two-stage loss + logs (mask term when the model emits masks).
+
+    With cfg.rpn_type == 'ga_rpn' the RPN terms come from the guided-
+    anchoring loss (objectness/reg on guided anchors + loc/shape)."""
     k1, k2 = jax.random.split(rng)
     iof_thr = getattr(cfg.assigner, 'ignore_iof_thr', -1.0)
-    l_rpn_cls, l_rpn_reg = rpn_loss(
-        fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1,
-        ignore_iof_thr=iof_thr)
+    if getattr(cfg, 'rpn_type', 'rpn') == 'ga_rpn':
+        from kgdet_tpu.core.ga_loss import ga_rpn_loss
+        ra = cfg.refine_assigner or cfg.assigner
+        rpn_total, rpn_logs = ga_rpn_loss(
+            fwd['rpn_outs'], batch, cfg.head, ra, canvas_hw, k1)
+    else:
+        l_rpn_cls, l_rpn_reg = rpn_loss(
+            fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, k1,
+            ignore_iof_thr=iof_thr)
+        rpn_total = l_rpn_cls + l_rpn_reg
+        rpn_logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg}
     l_cls, l_reg, aux = rcnn_targets_and_loss(
         fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
         fwd['roi_reg'], batch, k2, cfg.head.num_classes,
         sampler=getattr(cfg, 'rcnn_sampler', 'random'),
         ignore_iof_thr=iof_thr)
-    total = l_rpn_cls + l_rpn_reg + l_cls + l_reg
-    logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg,
-            'loss_cls': l_cls, 'loss_bbox': l_reg}
+    total = rpn_total + l_cls + l_reg
+    logs = {**rpn_logs, 'loss_cls': l_cls, 'loss_bbox': l_reg}
     if 'mask_logits' in fwd and 'gt_masks' in batch:
         from kgdet_tpu.models.mask_head import mask_loss, mask_targets
         targets = mask_targets(

@@ -46,6 +46,46 @@ class FeatureAdaption(nn.Module):
         return nn.relu(deform_conv(x, rel, w.astype(self.dtype)))
 
 
+class GARPNHead(nn.Module):
+    """Guided-anchor RPN: shared 3x3 conv, loc/shape branches, feature
+    adaption, then class-agnostic 1x1 objectness/regression
+    (reference ga_rpn_head.py:13-33)."""
+    in_channels: int = 256
+    feat_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding='SAME',
+                           kernel_init=normal_init(0.01), dtype=self.dtype,
+                           name='rpn_conv')
+        conv_loc = nn.Conv(1, (1, 1), kernel_init=normal_init(0.01),
+                           bias_init=bias_init_with_prob(0.01),
+                           dtype=self.dtype, name='conv_loc')
+        conv_shape = nn.Conv(2, (1, 1), kernel_init=normal_init(0.01),
+                             dtype=self.dtype, name='conv_shape')
+        fa = FeatureAdaption(self.feat_channels, dtype=self.dtype,
+                             name='feature_adaption')
+        conv_cls = nn.Conv(1, (1, 1), kernel_init=normal_init(0.01),
+                           dtype=self.dtype, name='conv_cls')
+        conv_reg = nn.Conv(4, (1, 1), kernel_init=normal_init(0.01),
+                           dtype=self.dtype, name='conv_reg')
+
+        outs = []
+        for x in feats:
+            t = nn.relu(rpn_conv(x))
+            loc = conv_loc(t)
+            shape = conv_shape(t)
+            t_a = fa(t, shape)
+            outs.append({
+                'cls': jnp.stack([conv_cls(t_a)]),
+                'bbox': jnp.stack([conv_reg(t_a)]),
+                'shape': jnp.stack([shape]),
+                'loc': jnp.stack([loc]),
+            })
+        return outs
+
+
 class GARetinaHead(nn.Module):
     """Retina towers + guided anchoring (one guided anchor per position)."""
     num_classes: int = 13

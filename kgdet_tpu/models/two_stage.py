@@ -377,10 +377,16 @@ class FasterRCNN(nn.Module):
                    num_outs=cfg.neck.num_outs, add_extra_convs=False,
                    select_out=None, norm=cfg.neck.norm,
                    gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
-        rpn = RPNHead(in_channels=cfg.neck.out_channels,
-                      feat_channels=cfg.neck.out_channels,
-                      num_anchors=len(cfg.head.anchor_ratios), dtype=dtype,
-                      name='rpn_head')
+        if cfg.rpn_type == 'ga_rpn':
+            from kgdet_tpu.models.ga_head import GARPNHead
+            rpn = GARPNHead(in_channels=cfg.neck.out_channels,
+                            feat_channels=cfg.neck.out_channels,
+                            dtype=dtype, name='rpn_head')
+        else:
+            rpn = RPNHead(in_channels=cfg.neck.out_channels,
+                          feat_channels=cfg.neck.out_channels,
+                          num_anchors=len(cfg.head.anchor_ratios),
+                          dtype=dtype, name='rpn_head')
         if cfg.detector_type == 'double_head_rcnn':
             bbox_head = DoubleConvFCBBoxHead(
                 num_classes=cfg.head.num_classes, dtype=dtype,
@@ -394,14 +400,21 @@ class FasterRCNN(nn.Module):
         rpn_outs = rpn(feats)
 
         strides = cfg.head.point_strides
-        anchors = [grid_anchors(
-            base_anchors(s, [8.0], cfg.head.anchor_ratios),
-            f.shape[1], f.shape[2], s)
-            for f, s in zip(feats, strides)]
         n_prop = (self.num_proposals_train if train
                   else self.num_proposals_test)
-        proposals, prop_scores, prop_valid = rpn_proposals(
-            rpn_outs, anchors, img_hw, max_num=n_prop)
+        if cfg.rpn_type == 'ga_rpn':
+            from kgdet_tpu.core.ga_loss import ga_rpn_proposals
+            anchors = None
+            canvas = (images.shape[1], images.shape[2])
+            proposals, prop_scores, prop_valid = ga_rpn_proposals(
+                rpn_outs, cfg.head, canvas, img_hw, max_num=n_prop)
+        else:
+            anchors = [grid_anchors(
+                base_anchors(s, [8.0], cfg.head.anchor_ratios),
+                f.shape[1], f.shape[2], s)
+                for f, s in zip(feats, strides)]
+            proposals, prop_scores, prop_valid = rpn_proposals(
+                rpn_outs, anchors, img_hw, max_num=n_prop)
         proposals = jax.lax.stop_gradient(proposals)
 
         feats_d = [f.astype(dtype) for f in feats]

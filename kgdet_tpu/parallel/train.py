@@ -256,7 +256,8 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
             rng = jax.random.PRNGKey(batch.get('seed', 0))
             if cfg.detector_type == 'cascade_rcnn':
                 return cascade_rcnn_loss(fwd, batch, rng, cfg, valids)
-            return faster_rcnn_loss(fwd, batch, rng, cfg, valids)
+            return faster_rcnn_loss(fwd, batch, rng, cfg, valids,
+                                    canvas_hw=canvas_hw)
 
         outs = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['image'])

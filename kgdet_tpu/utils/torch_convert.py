@@ -235,12 +235,38 @@ def _convert_context_block(parts, v, params, prefix, skipped, key):
         skipped.append(key)
 
 
+def _ga_leaf(parts, v, params, target):
+    """Guided-anchoring submodules shared by GA-RPN and GA-Retina heads."""
+    mod = parts[0]
+    if mod in ('conv_loc', 'conv_shape', 'conv_cls', 'conv_reg',
+               'retina_cls', 'retina_reg'):
+        leaf = 'kernel' if parts[1] == 'weight' else 'bias'
+        _set(params, target + (mod, leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+        return True
+    if mod in ('feature_adaption', 'feature_adaption_cls',
+               'feature_adaption_reg'):
+        sub = parts[1]
+        if sub == 'conv_offset' and parts[2] == 'weight':
+            _set(params, target + (mod, 'conv_offset', 'kernel'),
+                 _conv_kernel(v))
+        elif sub == 'conv_adaption' and parts[2] == 'weight':
+            _set(params, target + (mod, 'conv_adaption'), _dcn_kernel(v))
+        else:
+            return False
+        return True
+    return False
+
+
 def _convert_rpn(parts, v, params, skipped, key):
-    """RPN head (reference rpn_head.py:19-23): three plain convs."""
+    """RPN heads: plain (rpn_head.py:19-23) and guided-anchoring
+    (ga_rpn_head.py) module names."""
     if parts[0] in ('rpn_conv', 'rpn_cls', 'rpn_reg'):
         leaf = 'kernel' if parts[1] == 'weight' else 'bias'
         _set(params, ('rpn_head', parts[0], leaf),
              _conv_kernel(v) if leaf == 'kernel' else v)
+    elif _ga_leaf(parts, v, params, ('rpn_head',)):
+        pass
     else:
         skipped.append(key)
 
@@ -298,6 +324,9 @@ def _convert_head(parts, v, params, skipped, key):
         return
     # two-stage ConvFC box head (convfc_bbox_head.py): shared FCs + heads
     if _convfc_leaf(parts, v, params, 'bbox_head'):
+        return
+    # guided-anchoring retina head submodules (ga_retina_head.py)
+    if _ga_leaf(parts, v, params, ('head',)):
         return
     if parts[0] == 'moment_transfer':
         _set(params, ('head', 'moment_transfer'), v)

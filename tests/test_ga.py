@@ -91,3 +91,38 @@ def test_ga_retina_train_and_predict():
     })
     assert dets['det_bboxes'].shape == (2, 20, 5)
     assert np.isfinite(np.asarray(dets['det_bboxes'])).all()
+
+
+def test_ga_rpn_faster_rcnn_train_and_predict():
+    """GA-RPN proposals drive the two-stage detector end to end."""
+    from tests.test_two_stage import frcnn_cfg
+    cfg = frcnn_cfg().replace(rpn_type='ga_rpn')
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    params, stats = variables['params'], variables['batch_stats']
+    rpn = params['rpn_head']
+    for k in ('rpn_conv', 'conv_loc', 'conv_shape', 'feature_adaption',
+              'conv_cls', 'conv_reg'):
+        assert k in rpn, k
+
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, cfg, CANVAS, tx))
+    batch = jax.tree.map(jnp.asarray, synth_batch())
+    batch['seed'] = jnp.int32(23)
+    params2, _, logs = step(params, stats, opt_state, batch)
+    for k in ('loss_rpn_cls', 'loss_rpn_bbox', 'loss_anchor_loc',
+              'loss_anchor_shape', 'loss_cls', 'loss_bbox'):
+        assert np.isfinite(float(logs[k])), k
+    # shape branch learns through the proposal path
+    b4 = params['rpn_head']['conv_shape']['kernel']
+    a4 = params2['rpn_head']['conv_shape']['kernel']
+    assert np.abs(np.asarray(a4) - np.asarray(b4)).max() > 0
+
+    predict = make_predict_fns(model, cfg, [CANVAS])[tuple(CANVAS)]
+    dets = predict({'params': params2, 'batch_stats': stats}, {
+        'image': jnp.zeros((2, CANVAS[0], CANVAS[1], 3)),
+        'img_hw': jnp.asarray([[60., 90.], [64., 96.]]),
+        'scale_factor': jnp.asarray([1.0, 1.0]),
+    })
+    assert np.isfinite(np.asarray(dets['det_bboxes'])).all()
