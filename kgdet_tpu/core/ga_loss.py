@@ -121,7 +121,7 @@ def ga_loc_shape_losses(level_outs, batch, head_cfg: HeadConfig,
     Returns (l_loc, l_shape, guided (B, P, 4), valid (B, P))."""
     strides = head_cfg.point_strides
     H, W = canvas_hw
-    featmap_sizes = [(H // s, W // s) for s in strides]
+    featmap_sizes = [(-(-H // s), -(-W // s)) for s in strides]
     B = batch['gt_bboxes'].shape[0]
 
     # ---------------------------------------------------------- loc branch
@@ -263,7 +263,7 @@ def decode_detections_ga(level_outs, head_cfg: HeadConfig, canvas_hw,
     B = level_outs[0]['cls'].shape[1]
     mlvl_scores, mlvl_bboxes = [], []
     for o, s in zip(level_outs, strides):
-        fh, fw = H // s, W // s
+        fh, fw = -(-H // s), -(-W // s)
         squares = ga_squares(s, head_cfg.octave_base_scale, fh, fw)
         P = squares.shape[0]
         shape_pred = o['shape'][-1].astype(jnp.float32).reshape(B, P, 2)
@@ -373,7 +373,7 @@ def ga_rpn_proposals(level_outs, head_cfg: HeadConfig, canvas_hw, img_hw,
     B = level_outs[0]['cls'].shape[1]
     lvl_boxes, lvl_scores = [], []
     for o, s in zip(level_outs, strides):
-        fh, fw = H // s, W // s
+        fh, fw = -(-H // s), -(-W // s)
         squares = ga_squares(s, head_cfg.octave_base_scale, fh, fw)
         P = squares.shape[0]
         shape_pred = o['shape'][-1].astype(jnp.float32).reshape(B, P, 2)

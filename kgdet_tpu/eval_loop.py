@@ -66,7 +66,7 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
                 input_size=cfg.head.ssd_input_size,
                 basesize_ratio_range=cfg.head.ssd_basesize_ratio_range,
                 anchor_ratios=cfg.head.ssd_anchor_ratios)
-            anchors = [grid_anchors(base, canvas[0] // s, canvas[1] // s, s)
+            anchors = [grid_anchors(base, -(-canvas[0] // s), -(-canvas[1] // s), s)
                        for base, s in zip(head.base_anchors_per_level(),
                                           cfg.head.point_strides)]
 
@@ -102,7 +102,7 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
                 anchor_ratios=cfg.head.anchor_ratios,
                 anchor_strides=cfg.head.point_strides)
             anchors = [
-                grid_anchors(base, canvas[0] // s, canvas[1] // s, s)
+                grid_anchors(base, -(-canvas[0] // s), -(-canvas[1] // s), s)
                 for base, s in zip(head.base_anchors_per_level(),
                                    cfg.head.point_strides)]
 

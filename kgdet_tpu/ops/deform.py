@@ -159,6 +159,14 @@ def deform_sample(feat, rel_offsets_yx, stride: int = 1):
     """
     B, H, W, C = feat.shape
     _, Ho, Wo, K, _ = rel_offsets_yx.shape
+    if H < 2 or W < 2:
+        # the 2x2 bilinear footprint needs at least 2 rows/cols; zero-pad
+        # (out-of-bounds corners sample exact zeros, preserving the CUDA
+        # boundary semantics). Hit by coarse pyramid levels, e.g. a
+        # stride-64 map of a 64px-tall canvas.
+        feat = jnp.pad(feat, ((0, 0), (0, max(2 - H, 0)),
+                              (0, max(2 - W, 0)), (0, 0)))
+        B, H, W, C = feat.shape
     pos_dtype = jnp.promote_types(rel_offsets_yx.dtype, jnp.float32)
     cy = jnp.arange(Ho, dtype=pos_dtype) * stride
     cx = jnp.arange(Wo, dtype=pos_dtype) * stride

@@ -108,7 +108,7 @@ def build_level_geometry(cfg: KGDetConfig, canvas_hw):
     H, W = canvas_hw
     grids = []
     for stride in cfg.head.point_strides:
-        fh, fw = H // stride, W // stride
+        fh, fw = -(-H // stride), -(-W // stride)
         grids.append(grid_points(fh, fw, stride))
     return grids
 
@@ -118,7 +118,7 @@ def batch_valid_flags(cfg: KGDetConfig, canvas_hw, valid_hw):
     H, W = canvas_hw
     outs = []
     for stride in cfg.head.point_strides:
-        fh, fw = H // stride, W // stride
+        fh, fw = -(-H // stride), -(-W // stride)
         vh = jnp.ceil(valid_hw[:, 0] / stride).astype(jnp.int32)
         vw = jnp.ceil(valid_hw[:, 1] / stride).astype(jnp.int32)
         outs.append(jax.vmap(lambda a, b: valid_flags(fh, fw, a, b))(vh, vw))
@@ -144,7 +144,7 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
         A = head.num_anchors
         anchors, avalids = [], []
         for base, stride in zip(bases, cfg.head.point_strides):
-            fh, fw = H // stride, W // stride
+            fh, fw = -(-H // stride), -(-W // stride)
             anchors.append(grid_anchors(base, fh, fw, stride))
             vh = jnp.ceil(batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
             vw = jnp.ceil(batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
@@ -173,7 +173,7 @@ def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
         for base, stride, A in zip(head.base_anchors_per_level(),
                                    cfg.head.point_strides,
                                    head.num_anchors_per_level()):
-            fh, fw = H // stride, W // stride
+            fh, fw = -(-H // stride), -(-W // stride)
             anchors.append(grid_anchors(base, fh, fw, stride))
             vh = jnp.ceil(batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
             vw = jnp.ceil(batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
@@ -245,7 +245,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
             A = len(cfg.head.anchor_ratios)
             valids = []
             for stride in cfg.head.point_strides:
-                fh, fw = H // stride, W // stride
+                fh, fw = -(-H // stride), -(-W // stride)
                 vh = jnp.ceil(
                     batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
                 vw = jnp.ceil(

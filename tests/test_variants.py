@@ -320,3 +320,43 @@ def test_frozen_bn_calibration():
     # model still applies cleanly with the calibrated stats
     out = jax.jit(model.apply)(cal, jnp.asarray(batches[0]))
     assert np.isfinite(np.asarray(out[0]['cls'])).all()
+
+
+def test_level_geometry_nondivisible_strides():
+    """Canvas not divisible by the coarsest stride: grids must match the
+    SAME-padded conv chain (ceil division). Regression for the 5-level
+    serial recipe at (800, 1344), whose stride-64/128 maps are ceil-sized."""
+    import dataclasses
+    from kgdet_tpu.eval_loop import make_predict_fns
+    cfg = serial_cfg('SerialKpHead')
+    cfg = cfg.replace(
+        head=dataclasses.replace(cfg.head, point_strides=(8, 16, 32, 64)),
+        neck=dataclasses.replace(cfg.neck, num_outs=4))
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=CANVAS)
+    # 96 / 64 = 1.5 -> feature width 2 from the SAME-padded extra conv
+    outs = jax.jit(model.apply)(
+        variables, jnp.zeros((1, CANVAS[0], CANVAS[1], 3)))
+    assert outs[3]['cls'].shape[2:4] == (1, 2)
+
+    from kgdet_tpu.parallel.train import build_level_geometry
+    grids = build_level_geometry(cfg, CANVAS)
+    assert grids[3].shape[0] == 1 * 2
+
+    step = jax.jit(make_train_step(
+        model, cfg, CANVAS,
+        make_optimizer(cfg, variables['params'], 100)[0]))
+    opt_state = make_optimizer(cfg, variables['params'], 100)[0].init(
+        variables['params'])
+    batch = jax.tree.map(jnp.asarray, synth_batch(B=1))
+    _, _, logs = step(variables['params'], variables['batch_stats'],
+                      opt_state, batch)
+    assert np.isfinite(float(logs['loss']))
+
+    predict = make_predict_fns(model, cfg, [CANVAS])[tuple(CANVAS)]
+    dets = predict(variables, {
+        'image': jnp.zeros((1, CANVAS[0], CANVAS[1], 3)),
+        'img_hw': jnp.asarray([[60., 90.]]),
+        'scale_factor': jnp.asarray([1.0]),
+    })
+    assert np.isfinite(np.asarray(dets['det_bboxes'])).all()
