@@ -26,9 +26,10 @@ def build_model(cfg: KGDetConfig):
         return CascadeRCNN(cfg, num_proposals_train=cfg.num_proposals_train,
                            num_proposals_test=cfg.num_proposals_test)
     if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
-                             'double_head_rcnn'):
+                             'double_head_rcnn', 'grid_rcnn'):
         from kgdet_tpu.models.two_stage import FasterRCNN
         return FasterRCNN(cfg, with_mask=cfg.detector_type == 'mask_rcnn',
+                          with_grid=cfg.detector_type == 'grid_rcnn',
                           num_proposals_train=cfg.num_proposals_train,
                           num_proposals_test=cfg.num_proposals_test)
     return KGDetDetector(cfg)

@@ -253,6 +253,32 @@ def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
         ignore_iof_thr=iof_thr)
     total = rpn_total + l_cls + l_reg
     logs = {**rpn_logs, 'loss_cls': l_cls, 'loss_bbox': l_reg}
+    if 'grid_fused' in fwd:
+        from kgdet_tpu.models.grid_head import grid_loss, grid_targets
+        props = fwd['grid_props']                    # (B, K, 4)
+        B, K = props.shape[:2]
+
+        def assign_grid(p, gts, mask):
+            a = assign_max_iou(p, jnp.ones((p.shape[0],), bool), gts, mask,
+                               0.5, 0.5, 0.0)
+            return a.assigned_gt, a.pos_mask
+
+        assigned, posm = jax.vmap(assign_grid)(
+            props, batch['gt_bboxes'], batch['gt_mask'])
+        gt_sel = jnp.take_along_axis(
+            batch['gt_bboxes'], assigned[..., None].repeat(4, -1), axis=1)
+        targets, valid_roi = grid_targets(
+            props.reshape(-1, 4), gt_sel.reshape(-1, 4))
+        wgt = (posm.reshape(-1) & valid_roi).astype(jnp.float32)
+        hm = fwd['grid_fused'].shape[2]
+        l_grid = grid_loss(
+            fwd['grid_fused'].reshape((-1, hm, hm) +
+                                      fwd['grid_fused'].shape[4:]),
+            fwd['grid_unfused'].reshape((-1, hm, hm) +
+                                        fwd['grid_unfused'].shape[4:]),
+            targets, wgt)
+        total = total + l_grid
+        logs['loss_grid'] = l_grid
     if 'mask_logits' in fwd and 'gt_masks' in batch:
         from kgdet_tpu.models.mask_head import mask_loss, mask_targets
         targets = mask_targets(
@@ -322,6 +348,33 @@ def decode_cascade_detections(fwd, img_hw, scale_factor, test_cfg,
 
     det_bboxes, det_labels, det_kpts, dvalid = jax.vmap(nms_one)(
         boxes, fg_scores)
+    return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
+            'det_kpts': det_kpts, 'valid': dvalid}
+
+
+def decode_grid_detections(fwd, img_hw, scale_factor, test_cfg,
+                           num_classes):
+    """Grid R-CNN decode: NMS over the grid-refined top-K boxes with their
+    per-class scores (grid_rcnn.py simple_test order, fixed shapes)."""
+    boxes = fwd['grid_boxes']
+    scores = jnp.where(fwd['grid_valid'][..., None],
+                       fwd['grid_scores'], 0.0)
+    w = img_hw[:, 1][:, None]
+    h = img_hw[:, 0][:, None]
+    boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                       jnp.clip(boxes[..., 1], 0, h),
+                       jnp.clip(boxes[..., 2], 0, w),
+                       jnp.clip(boxes[..., 3], 0, h)],
+                      axis=-1) / scale_factor[:, None, None]
+
+    def nms_one(b, s):
+        return multiclass_nms_kp(
+            b, s, jnp.zeros((b.shape[0], 3), b.dtype), test_cfg.score_thr,
+            test_cfg.nms_iou_thr, max_per_class=test_cfg.max_per_class,
+            max_per_img=test_cfg.max_per_img)
+
+    det_bboxes, det_labels, det_kpts, dvalid = jax.vmap(nms_one)(
+        boxes, scores)
     return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
             'det_kpts': det_kpts, 'valid': dvalid}
 

@@ -349,11 +349,19 @@ class FasterRCNN(nn.Module):
     With ``with_mask`` (Mask R-CNN), a 14x14 RoI mask branch runs on the
     sampled proposals at train time and on the refined best-class boxes at
     test time (parity: fcn_mask_head applied to det bboxes).
+    With ``with_grid`` (Grid R-CNN), the grid head trains on the leading
+    proposals and, at test, refines the top reg-decoded boxes by heatmap
+    boundary voting before NMS (the reference refines post-NMS survivors;
+    refining a fixed top-K pre-NMS keeps shapes static —
+    detectors/grid_rcnn.py:130-200).
     """
     cfg: Any                         # KGDetConfig
     with_mask: bool = False
+    with_grid: bool = False
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
+    num_grid_train: int = 64
+    num_grid_test: int = 128
 
     @nn.compact
     def __call__(self, images, img_hw=None, train: bool = True):
@@ -425,6 +433,53 @@ class FasterRCNN(nn.Module):
                    proposal_scores=prop_scores, proposal_valid=prop_valid,
                    roi_cls=roi_cls, roi_reg=roi_reg)
 
+        if self.with_grid:
+            from kgdet_tpu.core.two_stage_loss import RCNN_TARGET_STDS
+            from kgdet_tpu.models.grid_head import (
+                GridHead, grid_refine_boxes)
+            grid_head = GridHead(dtype=dtype, name='grid_head')
+            B, R = proposals.shape[:2]
+            if train:
+                K = min(self.num_grid_train, R)
+                props = proposals[:, :K]
+                gfeats = extract_roi_feats(
+                    feats_d, strides, props, prop_valid[:, :K], out_size=14)
+                fused, unfused = grid_head(
+                    gfeats.reshape((B * K,) + gfeats.shape[2:]), train=True)
+                hm = fused.shape[1]
+                out['grid_fused'] = fused.reshape(B, K, hm, hm, -1)
+                out['grid_unfused'] = unfused.reshape(B, K, hm, hm, -1)
+                out['grid_props'] = props
+            else:
+                fg = jax.nn.softmax(
+                    roi_cls.astype(jnp.float32), axis=-1)[..., 1:]
+                best_score = jnp.where(prop_valid, fg.max(-1), -1.0)
+                K = min(self.num_grid_test, R)
+                _, top_idx = jax.lax.top_k(best_score, K)
+                take = lambda t: jnp.take_along_axis(
+                    t, top_idx.reshape(B, K, *([1] * (t.ndim - 2))), axis=1)
+                props = take(proposals)
+                best = jnp.argmax(take(fg), axis=-1)
+                reg = take(roi_reg.astype(jnp.float32)).reshape(B, K, -1, 4)
+                reg_best = jnp.take_along_axis(
+                    reg, (best + 1)[..., None, None].repeat(4, -1),
+                    axis=2)[:, :, 0]
+                refined = delta2bbox(props, reg_best,
+                                     stds=RCNN_TARGET_STDS)
+                valid_k = jnp.take_along_axis(prop_valid, top_idx, axis=1)
+                gfeats = extract_roi_feats(
+                    feats_d, strides, jax.lax.stop_gradient(refined),
+                    valid_k, out_size=14)
+                heat, _ = grid_head(
+                    gfeats.reshape((B * K,) + gfeats.shape[2:]),
+                    train=False)
+                hm = heat.shape[1]
+                grid_boxes = jax.vmap(grid_refine_boxes)(
+                    heat.reshape(B, K, hm, hm, -1), refined)
+                out['grid_boxes'] = grid_boxes
+                out['grid_scores'] = take(fg)
+                out['grid_valid'] = valid_k
+
         if self.with_mask:
             from kgdet_tpu.core.two_stage_loss import RCNN_TARGET_STDS
             from kgdet_tpu.models.mask_head import FCNMaskHead
@@ -435,7 +490,6 @@ class FasterRCNN(nn.Module):
                 mask_boxes = proposals
             else:
                 # refined best-class boxes (what NMS will consume)
-                from kgdet_tpu.core.bbox_transforms import delta2bbox
                 B, R = proposals.shape[:2]
                 fg = jax.nn.softmax(
                     roi_cls.astype(jnp.float32), axis=-1)[..., 1:]

@@ -232,7 +232,8 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
 
     def loss_fn(params, batch_stats, batch):
         if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
-                                 'cascade_rcnn', 'double_head_rcnn'):
+                                 'cascade_rcnn', 'double_head_rcnn',
+                                 'grid_rcnn'):
             from kgdet_tpu.core.two_stage_loss import (
                 cascade_rcnn_loss, faster_rcnn_loss)
             from kgdet_tpu.ops.anchors import anchor_valid_flags

@@ -108,6 +108,8 @@ def convert_state_dict(state_dict: Dict[str, Any]):
             _convert_rpn(parts[1:], v, params, skipped, key)
         elif parts[0] == 'mask_head':
             _convert_mask_head(parts[1:], v, params, skipped, key)
+        elif parts[0] == 'grid_head':
+            _convert_grid_head(parts[1:], v, params, skipped, key)
         else:
             skipped.append(key)
     return params, stats, skipped
@@ -314,6 +316,52 @@ def _convfc_leaf(parts, v, params, target):
             _set(params, (target, parts[0], 'bias'), v)
         return True
     return False
+
+
+def _convert_grid_head(parts, v, params, skipped, key):
+    """Grid R-CNN head (grid_head.py): conv trunk, fusion transitions,
+    grouped deconvs sliced onto the per-point flax modules."""
+    c = 64                                    # point_feat_channels
+    mod = parts[0]
+    if mod == 'convs':
+        idx, sub, leaf = parts[1], parts[2], parts[3]
+        if sub == 'conv':
+            _set(params, ('grid_head', f'convs_{idx}',
+                          'kernel' if leaf == 'weight' else 'bias'),
+                 _conv_kernel(v) if leaf == 'weight' else v)
+        else:                                 # gn
+            _set(params, ('grid_head', f'convs_gn_{idx}',
+                          'scale' if leaf == 'weight' else 'bias'), v)
+    elif mod in ('forder_trans', 'sorder_trans'):
+        i, j, seq, leaf = parts[1], parts[2], parts[3], parts[4]
+        name = f'{mod[:6]}_{i}_{j}'           # forder_i_j / sorder_i_j
+        sub = 'dw' if seq == '0' else 'pw'
+        _set(params, ('grid_head', name, sub,
+                      'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+    elif mod == 'deconv1':
+        if parts[1] == 'weight':              # (P*c, c, 4, 4) grouped
+            for i in range(v.shape[0] // c):
+                _set(params, ('grid_head', f'deconv1_{i}', 'kernel'),
+                     _deconv_kernel(v[i * c:(i + 1) * c]))
+        else:
+            for i in range(v.shape[0] // c):
+                _set(params, ('grid_head', f'deconv1_{i}', 'bias'),
+                     v[i * c:(i + 1) * c])
+    elif mod == 'norm1':
+        _set(params, ('grid_head', 'deconv1_gn',
+                      'scale' if parts[1] == 'weight' else 'bias'), v)
+    elif mod == 'deconv2':
+        if parts[1] == 'weight':              # (P*c, 1, 4, 4) grouped
+            for i in range(v.shape[0] // c):
+                _set(params, ('grid_head', f'deconv2_{i}', 'kernel'),
+                     _deconv_kernel(v[i * c:(i + 1) * c]))
+        else:                                 # bias (P,)
+            for i in range(v.shape[0]):
+                _set(params, ('grid_head', f'deconv2_{i}', 'bias'),
+                     v[i:i + 1])
+    else:
+        skipped.append(key)
 
 
 def _convert_head(parts, v, params, skipped, key):
