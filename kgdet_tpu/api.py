@@ -21,9 +21,10 @@ from kgdet_tpu.parallel.train import build_level_geometry
 
 
 def build_model(cfg: KGDetConfig):
-    if cfg.detector_type == 'cascade_rcnn':
+    if cfg.detector_type in ('cascade_rcnn', 'htc'):
         from kgdet_tpu.models.two_stage import CascadeRCNN
-        return CascadeRCNN(cfg, num_proposals_train=cfg.num_proposals_train,
+        return CascadeRCNN(cfg, with_mask=cfg.detector_type == 'htc',
+                           num_proposals_train=cfg.num_proposals_train,
                            num_proposals_test=cfg.num_proposals_test)
     if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
                              'double_head_rcnn', 'grid_rcnn'):

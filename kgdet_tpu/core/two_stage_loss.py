@@ -315,6 +315,31 @@ def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
         total = total + w * (l_cls + l_reg)
         logs[f'loss_cls_s{i}'] = l_cls
         logs[f'loss_bbox_s{i}'] = l_reg
+
+    # HTC: per-stage mask losses on the shared leading proposals
+    if 'mask_logits_stages' in fwd and 'gt_masks' in batch:
+        from kgdet_tpu.models.mask_head import mask_loss, mask_targets
+        mprops = fwd['mask_props']                     # (B, K, 4)
+
+        def assign_m(p, gts, labels, mask):
+            a = assign_max_iou(p, jnp.ones((p.shape[0],), bool), gts, mask,
+                               0.5, 0.5, 0.0)
+            lab = jnp.where(a.pos_mask, labels[a.assigned_gt], 0)
+            return a.assigned_gt, a.pos_mask, lab
+
+        assigned, posm, labels = jax.vmap(assign_m)(
+            mprops, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_mask'])
+        S = fwd['mask_logits_stages'][0].shape[2]
+        targets = mask_targets(
+            batch['gt_masks'].astype(jnp.float32), assigned, mprops,
+            cfg.train_data.mask_stride, out_size=S)
+        posf = posm.astype(jnp.float32)
+        for i, ml in enumerate(fwd['mask_logits_stages']):
+            l_mask = mask_loss(ml, targets, labels, posf) \
+                * CASCADE_STAGE_WEIGHTS[i]
+            total = total + l_mask
+            logs[f'loss_mask_s{i}'] = l_mask
     return total, logs
 
 
@@ -350,6 +375,45 @@ def decode_cascade_detections(fwd, img_hw, scale_factor, test_cfg,
         boxes, fg_scores)
     return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
             'det_kpts': det_kpts, 'valid': dvalid}
+
+
+def decode_htc_detections(fwd, img_hw, scale_factor, test_cfg,
+                          num_classes):
+    """HTC decode: NMS over the top-K last-stage boxes (stage-mean scores),
+    carrying each detection's stage-averaged mask probs."""
+    boxes = fwd['mask_boxes']
+    scores = jnp.where(fwd['mask_valid'][..., None],
+                       fwd['mask_scores'], 0.0)
+    B, K = boxes.shape[:2]
+    w = img_hw[:, 1][:, None]
+    h = img_hw[:, 0][:, None]
+    boxes = jnp.stack([jnp.clip(boxes[..., 0], 0, w),
+                       jnp.clip(boxes[..., 1], 0, h),
+                       jnp.clip(boxes[..., 2], 0, w),
+                       jnp.clip(boxes[..., 3], 0, h)],
+                      axis=-1) / scale_factor[:, None, None]
+    src = jnp.broadcast_to(
+        jnp.arange(K, dtype=boxes.dtype)[None, :, None], (B, K, 1))
+
+    def nms_one(b, s, k):
+        return multiclass_nms_kp(
+            b, s, k, test_cfg.score_thr, test_cfg.nms_iou_thr,
+            max_per_class=test_cfg.max_per_class,
+            max_per_img=test_cfg.max_per_img)
+
+    det_bboxes, det_labels, det_src, dvalid = jax.vmap(nms_one)(
+        boxes, scores, src)
+    M = det_bboxes.shape[1]
+    src_idx = jnp.clip(det_src[..., 0].astype(jnp.int32), 0, K - 1)
+    ml = fwd['mask_logits'].astype(jnp.float32)       # (B, K, S, S, C)
+    per_det = jnp.take_along_axis(
+        ml, src_idx[:, :, None, None, None].repeat(
+            ml.shape[2], 2).repeat(ml.shape[3], 3), axis=1)
+    cls_sel = jnp.take_along_axis(
+        per_det, det_labels[:, :, None, None, None], axis=-1)[..., 0]
+    return {'det_bboxes': det_bboxes, 'det_labels': det_labels,
+            'det_kpts': jnp.zeros((B, M, 3), det_bboxes.dtype),
+            'det_masks': jax.nn.sigmoid(cls_sel), 'valid': dvalid}
 
 
 def decode_grid_detections(fwd, img_hw, scale_factor, test_cfg,

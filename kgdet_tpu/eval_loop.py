@@ -30,14 +30,16 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
     for canvas in canvases:
         if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
                                  'cascade_rcnn', 'double_head_rcnn',
-                                 'grid_rcnn'):
+                                 'grid_rcnn', 'htc'):
             from kgdet_tpu.core.two_stage_loss import (
                 decode_cascade_detections, decode_grid_detections,
-                decode_rcnn_detections)
+                decode_htc_detections, decode_rcnn_detections)
             decode = (decode_cascade_detections
                       if cfg.detector_type == 'cascade_rcnn'
                       else decode_grid_detections
                       if cfg.detector_type == 'grid_rcnn'
+                      else decode_htc_detections
+                      if cfg.detector_type == 'htc'
                       else decode_rcnn_detections)
 
             def predict(variables, batch, decode=decode):

@@ -21,28 +21,39 @@ from kgdet_tpu.ops.roi import roi_align
 
 
 class FCNMaskHead(nn.Module):
+    """FCN mask head; with_info_flow adds the HTC residual input (a 1x1
+    transform of the previous stage's pre-deconv mask features —
+    reference htc_mask_head.py conv_res)."""
     num_classes: int = 13
     in_channels: int = 256
     conv_channels: int = 256
     num_convs: int = 4
+    with_info_flow: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feats):
-        """roi_feats: (..., r, r, C) -> mask logits (..., 2r, 2r, classes)."""
+    def __call__(self, roi_feats, res_feat=None, return_feat: bool = False):
+        """roi_feats: (..., r, r, C) -> mask logits (..., 2r, 2r, classes);
+        with return_feat also the (..., r, r, C) pre-deconv features."""
         x = roi_feats
+        if self.with_info_flow and res_feat is not None:
+            x = x + nn.Conv(x.shape[-1], (1, 1),
+                            kernel_init=normal_init(0.01), dtype=self.dtype,
+                            name='conv_res')(res_feat)
         for i in range(self.num_convs):
             x = nn.relu(nn.Conv(
                 self.conv_channels, (3, 3), padding='SAME',
                 kernel_init=normal_init(0.01), dtype=self.dtype,
                 name=f'conv_{i}')(x))
+        feat = x
         x = nn.relu(nn.ConvTranspose(
             self.conv_channels, (2, 2), strides=(2, 2),
             kernel_init=normal_init(0.01), dtype=self.dtype,
             name='upsample')(x))
-        return nn.Conv(self.num_classes, (1, 1),
-                       kernel_init=normal_init(0.01), dtype=self.dtype,
-                       name='conv_logits')(x)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         kernel_init=normal_init(0.01), dtype=self.dtype,
+                         name='conv_logits')(x)
+        return (logits, feat) if return_feat else logits
 
 
 def mask_targets(gt_masks, assigned_gt, proposals, mask_stride,

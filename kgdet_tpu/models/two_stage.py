@@ -270,6 +270,11 @@ class CascadeRCNN(nn.Module):
     num_stages: int = 3
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
+    # HTC (hybrid task cascade, without-semantic variant): per-stage mask
+    # heads with mask information flow (reference htc.py / htc_mask_head.py)
+    with_mask: bool = False
+    num_mask_train: int = 64
+    num_mask_test: int = 128
 
     @nn.compact
     def __call__(self, images, img_hw=None, train: bool = True):
@@ -336,9 +341,62 @@ class CascadeRCNN(nn.Module):
                      jnp.clip(refined[..., 3], 0, h)], axis=-1)
                 boxes = jax.lax.stop_gradient(refined)
 
-        return dict(rpn_outs=rpn_outs, anchors=anchors,
-                    proposals=proposals, proposal_scores=prop_scores,
-                    proposal_valid=prop_valid, stages=stages)
+        out = dict(rpn_outs=rpn_outs, anchors=anchors,
+                   proposals=proposals, proposal_scores=prop_scores,
+                   proposal_valid=prop_valid, stages=stages)
+
+        if self.with_mask:
+            from kgdet_tpu.models.mask_head import FCNMaskHead
+            mask_heads = [FCNMaskHead(num_classes=cfg.head.num_classes,
+                                      with_info_flow=i > 0, dtype=dtype,
+                                      name=f'mask_head_{i}')
+                          for i in range(self.num_stages)]
+            B, R = proposals.shape[:2]
+            if train:
+                K = min(self.num_mask_train, R)
+                mprops = proposals[:, :K]
+                mvalid = prop_valid[:, :K]
+            else:
+                # run masks on the top-K last-stage refined boxes (the NMS
+                # pool; the reference masks post-NMS dets — fixed shapes)
+                scores = sum(jax.nn.softmax(
+                    s['roi_cls'].astype(jnp.float32), axis=-1)
+                    for s in stages) / len(stages)
+                fg = jnp.where(prop_valid[..., None], scores[..., 1:], 0.0)
+                last = stages[-1]
+                dec = delta2bbox(last['proposals'],
+                                 last['roi_reg'].astype(jnp.float32),
+                                 stds=CASCADE_STAGE_STDS[len(stages) - 1])
+                K = min(self.num_mask_test, R)
+                best = jnp.where(prop_valid, fg.max(-1), -1.0)
+                _, top_idx = jax.lax.top_k(best, K)
+                take = lambda t: jnp.take_along_axis(
+                    t, top_idx.reshape(B, K, *([1] * (t.ndim - 2))), axis=1)
+                mprops = take(dec)
+                mvalid = jnp.take_along_axis(prop_valid, top_idx, axis=1)
+                out['mask_boxes'] = mprops
+                out['mask_scores'] = take(fg)
+                out['mask_valid'] = mvalid
+            mfeats = extract_roi_feats(
+                feats_d, strides, jax.lax.stop_gradient(mprops), mvalid,
+                out_size=14)
+            flat = mfeats.reshape((B * K,) + mfeats.shape[2:])
+            res = None
+            stage_logits = []
+            for i in range(self.num_stages):
+                logits, res = mask_heads[i](flat, res_feat=res,
+                                            return_feat=True)
+                stage_logits.append(logits)
+            S = logits.shape[1]
+            if train:
+                out['mask_logits_stages'] = [
+                    l.reshape(B, K, S, S, -1) for l in stage_logits]
+                out['mask_props'] = mprops
+            else:
+                avg = sum(l.astype(jnp.float32)
+                          for l in stage_logits) / len(stage_logits)
+                out['mask_logits'] = avg.reshape(B, K, S, S, -1)
+        return out
 
 
 class FasterRCNN(nn.Module):

@@ -233,7 +233,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
     def loss_fn(params, batch_stats, batch):
         if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
                                  'cascade_rcnn', 'double_head_rcnn',
-                                 'grid_rcnn'):
+                                 'grid_rcnn', 'htc'):
             from kgdet_tpu.core.two_stage_loss import (
                 cascade_rcnn_loss, faster_rcnn_loss)
             from kgdet_tpu.ops.anchors import anchor_valid_flags
@@ -255,7 +255,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
                     lambda a, b: anchor_valid_flags(fh, fw, A, a, b))(
                         vh, vw))
             rng = jax.random.PRNGKey(batch.get('seed', 0))
-            if cfg.detector_type == 'cascade_rcnn':
+            if cfg.detector_type in ('cascade_rcnn', 'htc'):
                 return cascade_rcnn_loss(fwd, batch, rng, cfg, valids)
             return faster_rcnn_loss(fwd, batch, rng, cfg, valids,
                                     canvas_hw=canvas_hw)
