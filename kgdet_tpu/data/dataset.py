@@ -306,6 +306,17 @@ class DeepFashion2Dataset:
         if flip:
             img = img[:, ::-1]
         canvas = self.canvas_for_flag(self.flags[idx])
+        if canvas[0] < rh or canvas[1] < rw:
+            # TTA scales beyond the configured buckets: fall back to the
+            # smallest fitting canvas (Detector.__call__ order), then to a
+            # /size_divisor-rounded bucket
+            fitting = [c for c in self.cfg.canvas_hw
+                       if c[0] >= rh and c[1] >= rw]
+            if fitting:
+                canvas = min(fitting, key=lambda c: c[0] * c[1])
+            else:
+                div = self.cfg.size_divisor
+                canvas = (-(-rh // div) * div, -(-rw // div) * div)
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)
         return {
             'image': img.astype(np.float32),

@@ -154,7 +154,9 @@ def grid_targets(pos_boxes, gt_boxes, grid_points: int = 9,
     h = pos_boxes[:, 3] - pos_boxes[:, 1]
     x1 = pos_boxes[:, 0] - w / 2
     y1 = pos_boxes[:, 1] - h / 2
-    valid = (w > gs) & (h > gs)
+    # the reference validates against the 2x-expanded RoI (pos_bbox_ws =
+    # 2*w), not the original box (grid_head.py get_target)
+    valid = (2 * w > gs) & (2 * h > gs)
 
     factors = np.asarray(
         [(1 - (j // gs) / (gs - 1), 1 - (j % gs) / (gs - 1))

@@ -158,8 +158,11 @@ class GeneralizedAttention(nn.Module):
                 None, :, :, None, :, None]
 
         if self.spatial_range >= 0:
-            iy = jnp.arange(h)[:, None, None, None]
-            ix = jnp.arange(w)[None, :, None, None]
+            # query centers live at iy*q_stride/ix*q_stride in input space
+            # (reference generalized_attention.py builds the local-constraint
+            # map from h_idx * q_stride)
+            iy = jnp.arange(h)[:, None, None, None] * self.q_stride
+            ix = jnp.arange(w)[None, :, None, None] * self.q_stride
             ky = jnp.arange(hk)[None, None, :, None]
             kx = jnp.arange(wk)[None, None, None, :]
             sr, kvs = self.spatial_range, self.kv_stride

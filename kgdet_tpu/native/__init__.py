@@ -30,7 +30,9 @@ def _so_path():
 
 
 def _build(so):
-    tmp = so + '.tmp'
+    # pid-unique temp name: concurrent first-time builds (pytest-xdist,
+    # parallel tools) must not interleave g++ output in one file
+    tmp = f'{so}.{os.getpid()}.tmp'
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', tmp]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, so)

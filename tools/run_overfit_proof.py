@@ -29,7 +29,7 @@ def main():
     p.add_argument('--out',
                    default=os.path.join(REPO, 'docs/training_proof.json'))
     p.add_argument('--milestones', type=int, nargs='+',
-                   default=[5, 15, 30, 45])
+                   default=[5, 15, 30, 45, 80])
     args = p.parse_args()
 
     import jax
