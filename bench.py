@@ -283,6 +283,15 @@ def main():
 if __name__ == '__main__':
     if '--check' in sys.argv:
         sys.exit(0 if kernel_check() else 1)
+    if '--all' in sys.argv:
+        # one self-contained run: all four JSON lines (kernel parity,
+        # inference, train, serial) — round-2 verdict task 10. Each mode
+        # compiles its own programs; expect ~1h total on the axon tunnel.
+        ok = kernel_check()
+        main()
+        train_bench()
+        serial_bench()
+        sys.exit(0 if ok else 1)
     if '--train' in sys.argv:
         train_bench()
     elif '--serial' in sys.argv:

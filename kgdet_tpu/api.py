@@ -21,16 +21,27 @@ from kgdet_tpu.parallel.train import build_level_geometry
 
 
 def build_model(cfg: KGDetConfig):
-    if cfg.detector_type in ('cascade_rcnn', 'htc'):
+    dt = cfg.detector_type
+    if dt in ('cascade_rcnn', 'htc'):
         from kgdet_tpu.models.two_stage import CascadeRCNN
-        return CascadeRCNN(cfg, with_mask=cfg.detector_type == 'htc',
+        return CascadeRCNN(cfg, with_mask=dt == 'htc',
+                           with_semantic=getattr(cfg, 'with_semantic',
+                                                 False),
                            num_proposals_train=cfg.num_proposals_train,
                            num_proposals_test=cfg.num_proposals_test)
-    if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
-                             'double_head_rcnn', 'grid_rcnn'):
+    if dt == 'rpn':
+        from kgdet_tpu.models.two_stage import RPNDetector
+        return RPNDetector(cfg,
+                           num_proposals_train=cfg.num_proposals_train,
+                           num_proposals_test=cfg.num_proposals_test)
+    if dt in ('faster_rcnn', 'fast_rcnn', 'mask_rcnn', 'ms_rcnn',
+              'double_head_rcnn', 'grid_rcnn'):
         from kgdet_tpu.models.two_stage import FasterRCNN
-        return FasterRCNN(cfg, with_mask=cfg.detector_type == 'mask_rcnn',
-                          with_grid=cfg.detector_type == 'grid_rcnn',
+        return FasterRCNN(cfg,
+                          with_mask=dt in ('mask_rcnn', 'ms_rcnn'),
+                          with_maskiou=dt == 'ms_rcnn',
+                          with_grid=dt == 'grid_rcnn',
+                          external_proposals=dt == 'fast_rcnn',
                           num_proposals_train=cfg.num_proposals_train,
                           num_proposals_test=cfg.num_proposals_test)
     return KGDetDetector(cfg)
@@ -49,18 +60,11 @@ def make_predict_fn(model, cfg: KGDetConfig, canvas_hw):
     """Jitted (variables, batch) -> padded detections on device.
 
     batch needs: image (B, H, W, 3), img_hw (B, 2) resized extents,
-    scale_factor (B,).
+    scale_factor (B,). Decode is resolved through the family registry.
     """
-    grids = build_level_geometry(cfg, canvas_hw)
-
-    @jax.jit
-    def predict(variables, batch):
-        outs = model.apply(variables, batch['image'])
-        return decode_detections(
-            outs, grids, batch['img_hw'], batch['scale_factor'], cfg.test,
-            num_keypts=cfg.head.num_keypts)
-
-    return predict
+    from kgdet_tpu.eval_loop import make_predict_fns
+    return make_predict_fns(model, cfg, [tuple(canvas_hw)])[
+        tuple(canvas_hw)]
 
 
 def make_forward_fn(model, cfg: KGDetConfig):

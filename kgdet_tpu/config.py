@@ -60,6 +60,15 @@ class BackboneConfig:
     gcb_stages: Tuple[int, ...] = ()
     nonlocal_stages: Tuple[int, ...] = ()
     gen_attention_stages: Tuple[int, ...] = ()
+    # ResNeXt grouped bottlenecks (groups=1 => plain ResNet widths)
+    groups: int = 1
+    base_width: int = 4
+    # SSDVGG: depth selects 16/19; extra feature layers + L2Norm scale
+    l2_norm_scale: float = 20.0
+    vgg_with_last_pool: bool = False
+    vgg_input_size: int = 300        # 300 | 512 (selects the extras program)
+    # HRNet branch base width (HRNetV2p-W18/32/40)
+    hrnet_width: int = 32
 
 
 @dataclass(frozen=True)
@@ -74,6 +83,9 @@ class NeckConfig:
     select_out: Optional[Tuple[int, ...]] = (2,)
     norm: Optional[str] = 'gn'
     gn_groups: int = 32
+    # BFP (Libra R-CNN) refine knobs, used by neck type 'FPNBFP'
+    bfp_refine_level: int = 2
+    bfp_refine_type: str = 'non_local'   # 'conv' | 'non_local'
 
 
 @dataclass(frozen=True)
@@ -106,6 +118,8 @@ class HeadConfig:
     octave_base_scale: int = 4
     scales_per_octave: int = 3
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # RPN base anchor scales (two-stage family; reference rpn configs [8])
+    anchor_scales: Tuple[float, ...] = (8.0,)
     # SSD head (reference ssd_head.py recipe knobs)
     ssd_input_size: int = 300
     ssd_basesize_ratio_range: Tuple[float, float] = (0.15, 0.9)
@@ -113,6 +127,8 @@ class HeadConfig:
         ((2,), (2, 3), (2, 3), (2, 3), (2,))
     ssd_neg_pos_ratio: int = 3
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    # HTC semantic-fusion branch stuff classes (reference COCO-stuff 183)
+    num_stuff_classes: int = 183
 
 
 @dataclass(frozen=True)
@@ -175,6 +191,15 @@ class DataConfig:
     max_gts: int = 32
     # crowd (iscrowd=1) regions ride along as padded ignore boxes
     max_ignore: int = 8
+    # stuff-segmentation label maps (HTC semantic branch): directory of
+    # per-image PNGs named like the images; emitted at 1/seg_stride
+    seg_prefix: str = ''
+    seg_stride: int = 8
+    # precomputed proposals (Fast R-CNN): .pkl list of per-image (P, 4|5)
+    # arrays aligned with the annotation order (reference custom.py
+    # proposal_file), padded/truncated to num_proposals per image
+    proposal_file: str = ''
+    num_proposals: int = 1000
     # extra augmentations (reference extra_aug.py, wired through
     # prepare_train in the reference's order: photometric -> expand -> crop)
     photo_metric_distortion: bool = False
@@ -198,9 +223,12 @@ class KGDetConfig:
     train_data: DataConfig = field(default_factory=DataConfig)
     val_data: DataConfig = field(default_factory=DataConfig)
     compute_dtype: str = 'float32'   # 'float32' | 'bfloat16'
-    # 'single_stage' | 'faster_rcnn' | 'mask_rcnn' | 'cascade_rcnn'
-    # | 'double_head_rcnn'
+    # 'single_stage' | 'rpn' | 'faster_rcnn' | 'fast_rcnn' | 'mask_rcnn'
+    # | 'ms_rcnn' | 'cascade_rcnn' | 'double_head_rcnn' | 'grid_rcnn' | 'htc'
     detector_type: str = 'single_stage'
+    # HTC semantic-fusion branch (fused_semantic_head); needs
+    # gt_semantic_seg in the batch (DataConfig.seg_prefix)
+    with_semantic: bool = False
     # two-stage proposal network: 'rpn' | 'ga_rpn' (guided anchoring)
     rpn_type: str = 'rpn'
     # two-stage proposal budget (fixed shapes)
@@ -208,6 +236,9 @@ class KGDetConfig:
     num_proposals_test: int = 1000
     # 'random' | 'ohem' | 'iou_balanced' | 'instance_balanced'
     rcnn_sampler: str = 'random'
+    # RoI box head flavor: 'convfc' (shared-2FC) | 'res_layer' (C4-style
+    # shared ResNet stage-4 + avg-pool head, reference shared_heads/)
+    rcnn_head: str = 'convfc'
     work_dir: str = './work_dirs/kgdet'
     seed: int = 0
 

@@ -289,10 +289,72 @@ def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
                            aux['pos_weights'])
         total = total + l_mask
         logs['loss_mask'] = l_mask
+        if 'maskiou_pred' in fwd:
+            # Mask Scoring R-CNN: MSE(0.5x) on the assigned class's IoU
+            # channel for positives with nonzero IoU target
+            # (maskiou_head.py loss/get_target)
+            from kgdet_tpu.models.mask_head import maskiou_targets
+            labels = aux['labels']
+            C = fwd['mask_logits'].shape[-1]
+            cls_idx = jnp.clip(labels - 1, 0, C - 1)
+            logits_cls = jnp.take_along_axis(
+                fwd['mask_logits'].astype(jnp.float32),
+                cls_idx[..., None, None, None], axis=-1)[..., 0]
+            iou_t = maskiou_targets(jax.lax.stop_gradient(logits_cls),
+                                    targets)
+            pred = jnp.take_along_axis(
+                fwd['maskiou_pred'].astype(jnp.float32),
+                cls_idx[..., None], axis=-1)[..., 0]
+            wgt = aux['pos_weights'] * (iou_t > 0)
+            l_iou = 0.5 * ((pred - iou_t) ** 2 * wgt).sum() \
+                / jnp.maximum(wgt.sum(), 1.0)
+            total = total + l_iou
+            logs['loss_mask_iou'] = l_iou
     return total, logs
 
 
-def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
+def two_stage_loss_fn(detector_type: str):
+    """Loss entry per cfg.detector_type (forward_train equivalents)."""
+    table = {
+        'faster_rcnn': faster_rcnn_loss,
+        'fast_rcnn': fast_rcnn_loss,
+        'mask_rcnn': faster_rcnn_loss,
+        'ms_rcnn': faster_rcnn_loss,
+        'double_head_rcnn': faster_rcnn_loss,
+        'grid_rcnn': faster_rcnn_loss,
+        'cascade_rcnn': cascade_rcnn_loss,
+        'htc': cascade_rcnn_loss,
+        'rpn': rpn_only_loss,
+    }
+    if detector_type not in table:
+        raise KeyError(f'unknown two-stage detector {detector_type}')
+    return table[detector_type]
+
+
+def rpn_only_loss(fwd, batch, rng, cfg, valids_per_level, canvas_hw=None):
+    """Standalone RPN detector loss (reference detectors/rpn.py
+    forward_train: RPN terms only, proposal quality evaluated by recall)."""
+    iof_thr = getattr(cfg.assigner, 'ignore_iof_thr', -1.0)
+    l_cls, l_reg = rpn_loss(
+        fwd['rpn_outs'], fwd['anchors'], valids_per_level, batch, rng,
+        ignore_iof_thr=iof_thr)
+    return l_cls + l_reg, {'loss_rpn_cls': l_cls, 'loss_rpn_bbox': l_reg}
+
+
+def fast_rcnn_loss(fwd, batch, rng, cfg, valids_per_level, canvas_hw=None):
+    """Fast R-CNN: RCNN terms only — proposals are precomputed inputs
+    (reference detectors/fast_rcnn.py forward_train has no RPN)."""
+    iof_thr = getattr(cfg.assigner, 'ignore_iof_thr', -1.0)
+    l_cls, l_reg, _ = rcnn_targets_and_loss(
+        fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
+        fwd['roi_reg'], batch, rng, cfg.head.num_classes,
+        sampler=getattr(cfg, 'rcnn_sampler', 'random'),
+        ignore_iof_thr=iof_thr)
+    return l_cls + l_reg, {'loss_cls': l_cls, 'loss_bbox': l_reg}
+
+
+def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
+                      canvas_hw=None):
     """RPN loss + per-stage RCNN losses with the cascade IoU/std/weight
     schedule (parity: cascade_rcnn.py forward_train stage loop)."""
     stages = fwd['stages']
@@ -303,6 +365,12 @@ def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level):
         ignore_iof_thr=iof_thr)
     total = l_rpn_cls + l_rpn_reg
     logs = {'loss_rpn_cls': l_rpn_cls, 'loss_rpn_bbox': l_rpn_reg}
+    if 'semantic_pred' in fwd and 'gt_semantic_seg' in batch:
+        from kgdet_tpu.models.mask_head import semantic_loss
+        l_sem = semantic_loss(fwd['semantic_pred'],
+                              batch['gt_semantic_seg'])
+        total = total + l_sem
+        logs['loss_semantic_seg'] = l_sem
     for i, (st, key) in enumerate(zip(stages, keys[1:])):
         iou = CASCADE_STAGE_IOUS[i]
         l_cls, l_reg, _ = rcnn_targets_and_loss(
@@ -443,6 +511,27 @@ def decode_grid_detections(fwd, img_hw, scale_factor, test_cfg,
             'det_kpts': det_kpts, 'valid': dvalid}
 
 
+def decode_rpn_proposals(fwd, img_hw, scale_factor, test_cfg, num_classes):
+    """Standalone-RPN decode: score-ranked proposals in original-image
+    coords (reference detectors/rpn.py simple_test; recall-eval consumers
+    read det_bboxes[..., :4] in rank order)."""
+    boxes = fwd['proposals'].astype(jnp.float32)
+    scores = fwd['proposal_scores'].astype(jnp.float32)
+    valid = fwd['proposal_valid']
+    B, R = boxes.shape[:2]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), axis=1)
+    take = lambda t: jnp.take_along_axis(
+        t, order.reshape(B, R, *([1] * (t.ndim - 2))), axis=1)
+    boxes = take(boxes) / scale_factor[:, None, None]
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    det = jnp.concatenate([boxes, scores[..., None]], axis=-1)
+    return {'det_bboxes': det,
+            'det_labels': jnp.zeros((B, R), jnp.int32),
+            'det_kpts': jnp.zeros((B, R, 3), jnp.float32),
+            'valid': valid}
+
+
 def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
                            num_classes):
     """Per-class softmax decode + NMS over the padded proposal set."""
@@ -497,4 +586,16 @@ def decode_rcnn_detections(fwd, img_hw, scale_factor, test_cfg,
         cls_sel = jnp.take_along_axis(
             per_det, det_labels[:, :, None, None, None], axis=-1)[..., 0]
         out['det_masks'] = jax.nn.sigmoid(cls_sel)        # (B, M, S, S)
+        if 'maskiou_pred' in fwd:
+            # Mask Scoring R-CNN: segm score = cls score * predicted mask
+            # IoU of the detection's class (mask_scoring_rcnn.py
+            # simple_test_mask score rescoring)
+            iou_cls = jnp.take_along_axis(
+                jnp.take_along_axis(fwd['maskiou_pred'].astype(jnp.float32),
+                                    src_idx[..., None].repeat(
+                                        fwd['maskiou_pred'].shape[-1], -1),
+                                    axis=1),
+                det_labels[..., None], axis=-1)[..., 0]
+            out['det_mask_scores'] = det_bboxes[..., 4] * \
+                jnp.clip(iou_cls, 0.0, 1.0)
     return out

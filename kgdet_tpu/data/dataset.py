@@ -66,6 +66,10 @@ class ImageRecord:
 class DeepFashion2Dataset:
     """Map-style dataset over a COCO-format DeepFashion2 annotation file."""
 
+    # precomputed-proposal store; class default so subclasses with their
+    # own __init__ (xml_dataset.py) inherit the no-proposals behavior
+    proposals = None
+
     def __init__(self, cfg: DataConfig, train: bool = True,
                  min_size: int = 32, min_keypoints: int = 0,
                  filter_empty: Optional[bool] = None):
@@ -98,6 +102,67 @@ class DeepFashion2Dataset:
         self.flags = np.array(
             [1 if r.width / r.height > 1 else 0 for r in self.records],
             dtype=np.int64)
+        # precomputed proposals (Fast R-CNN; reference custom.py
+        # proposal_file): .pkl list aligned with the annotation img order,
+        # or a dict keyed by file name / img id
+        self.proposals = None
+        if cfg.proposal_file:
+            import pickle
+            with open(cfg.proposal_file, 'rb') as f:
+                raw = pickle.load(f)
+            if isinstance(raw, dict):
+                self.proposals = {}
+                for r in self.records:
+                    p = raw.get(r.filename, raw.get(r.img_id))
+                    self.proposals[r.img_id] = np.asarray(
+                        p, np.float32).reshape(-1, p.shape[-1] if
+                                               hasattr(p, 'shape') else 4)
+            else:
+                by_id = dict(zip(self.coco.img_ids, raw))
+                self.proposals = {
+                    r.img_id: np.asarray(by_id[r.img_id], np.float32)
+                    for r in self.records}
+
+    def _padded_proposals(self, img_id, sf, flip_width=None):
+        """(num_proposals, 4) canvas-coordinate proposals + validity."""
+        P = self.cfg.num_proposals
+        out = np.zeros((P, 4), np.float32)
+        valid = np.zeros((P,), bool)
+        p = self.proposals.get(img_id)
+        if p is not None and p.size:
+            p = p.reshape(-1, p.shape[-1])
+            if p.shape[-1] >= 5:                # score-sorted, scores drop
+                p = p[np.argsort(-p[:, 4])]
+            p = p[:P, :4] * sf
+            if flip_width is not None:
+                p = flip_bboxes(p, flip_width)
+            out[:len(p)] = p
+            valid[:len(p)] = True
+        return out, valid
+
+    def _semantic_seg(self, record, sf, flip, canvas):
+        """(canvas/seg_stride) stuff-label map; 255 pads/ignores
+        (reference custom.py seg_prefix + SegMapTransform)."""
+        s = self.cfg.seg_stride
+        hs, ws = canvas[0] // s, canvas[1] // s
+        out = np.full((hs, ws), 255, np.int32)
+        base = os.path.splitext(record.filename)[0]
+        for ext in ('.png', '_seg.png'):
+            path = os.path.join(self.cfg.seg_prefix, base + ext)
+            if os.path.exists(path):
+                seg = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+                if seg is None:
+                    break
+                nh = max(int(round(seg.shape[0] * sf / s)), 1)
+                nw = max(int(round(seg.shape[1] * sf / s)), 1)
+                seg = cv2.resize(seg, (nw, nh),
+                                 interpolation=cv2.INTER_NEAREST)
+                if flip:
+                    seg = seg[:, ::-1]
+                out[:min(nh, hs), :min(nw, ws)] = \
+                    seg[:min(nh, hs), :min(nw, ws)]
+                break
+        return out
 
     def __len__(self):
         return len(self.records)
@@ -259,6 +324,14 @@ class DeepFashion2Dataset:
         if self.cfg.with_mask:
             sample['gt_masks'] = self.rasterize_masks(
                 record.img_id, sf, rw if flipped else None, canvas)
+        if self.proposals is not None:
+            props, pvalid = self._padded_proposals(
+                record.img_id, sf, rw if flipped else None)
+            sample['proposals'] = props
+            sample['proposals_valid'] = pvalid
+        if self.cfg.seg_prefix:
+            sample['gt_semantic_seg'] = self._semantic_seg(
+                record, sf, flipped, canvas)
         return sample
 
     def rasterize_masks(self, img_id, scale_factor, flip_width, canvas):
@@ -318,13 +391,19 @@ class DeepFashion2Dataset:
                 div = self.cfg.size_divisor
                 canvas = (-(-rh // div) * div, -(-rw // div) * div)
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)
-        return {
+        out = {
             'image': img.astype(np.float32),
             'img_hw': np.array([rh, rw], np.float32),
             'scale_factor': np.float32(sf),
             'flipped': np.bool_(flip),
             'img_id': record.img_id,
         }
+        if self.proposals is not None:
+            props, pvalid = self._padded_proposals(
+                record.img_id, sf, rw if flip else None)
+            out['proposals'] = props
+            out['proposals_valid'] = pvalid
+        return out
 
     @property
     def class_names(self):

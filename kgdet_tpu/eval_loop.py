@@ -25,106 +25,35 @@ from kgdet_tpu.parallel.train import build_level_geometry
 
 
 def make_predict_fns(model, cfg: KGDetConfig, canvases):
-    """One jitted predict per canvas bucket (static shapes)."""
+    """One jitted predict per canvas bucket (static shapes).
+
+    Dispatch rides the head-family registry (models/families.py): two-stage
+    detectors decode via their detector_type record, single-stage families
+    via their HeadFamily.make_decode."""
+    from kgdet_tpu.models.families import (
+        get_head_family, is_two_stage, two_stage_decoder)
     fns = {}
     for canvas in canvases:
-        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
-                                 'cascade_rcnn', 'double_head_rcnn',
-                                 'grid_rcnn', 'htc'):
-            from kgdet_tpu.core.two_stage_loss import (
-                decode_cascade_detections, decode_grid_detections,
-                decode_htc_detections, decode_rcnn_detections)
-            decode = (decode_cascade_detections
-                      if cfg.detector_type == 'cascade_rcnn'
-                      else decode_grid_detections
-                      if cfg.detector_type == 'grid_rcnn'
-                      else decode_htc_detections
-                      if cfg.detector_type == 'htc'
-                      else decode_rcnn_detections)
+        if is_two_stage(cfg.detector_type):
+            decode = two_stage_decoder(cfg.detector_type)
 
             def predict(variables, batch, decode=decode):
+                kw = {}
+                if 'proposals' in batch:    # Fast R-CNN external proposals
+                    kw = dict(proposals=batch['proposals'],
+                              proposals_valid=batch['proposals_valid'])
                 fwd = model.apply(variables, batch['image'],
-                                  batch['img_hw'], train=False)
+                                  batch['img_hw'], train=False, **kw)
                 return decode(
                     fwd, batch['img_hw'], batch['scale_factor'], cfg.test,
                     num_classes=cfg.head.num_classes)
-
-            fns[tuple(canvas)] = jax.jit(predict)
-            continue
-        if cfg.head.type == 'GARetinaHead':
-            from kgdet_tpu.core.ga_loss import decode_detections_ga
-
-            def predict(variables, batch, canvas=canvas):
-                outs = model.apply(variables, batch['image'])
-                return decode_detections_ga(
-                    outs, cfg.head, canvas, batch['img_hw'],
-                    batch['scale_factor'], cfg.test)
-
-            fns[tuple(canvas)] = jax.jit(predict)
-            continue
-        if cfg.head.type == 'SSDHead':
-            from kgdet_tpu.core.anchor_loss import decode_detections_ssd
-            from kgdet_tpu.models.ssd_head import SSDHead
-            from kgdet_tpu.ops.anchors import grid_anchors
-            head = SSDHead(
-                num_classes=cfg.head.num_classes,
-                anchor_strides=cfg.head.point_strides,
-                input_size=cfg.head.ssd_input_size,
-                basesize_ratio_range=cfg.head.ssd_basesize_ratio_range,
-                anchor_ratios=cfg.head.ssd_anchor_ratios)
-            anchors = [grid_anchors(base, -(-canvas[0] // s), -(-canvas[1] // s), s)
-                       for base, s in zip(head.base_anchors_per_level(),
-                                          cfg.head.point_strides)]
-
-            def predict(variables, batch, anchors=anchors):
-                outs = model.apply(variables, batch['image'])
-                return decode_detections_ssd(
-                    outs, anchors, batch['img_hw'], batch['scale_factor'],
-                    cfg.test, num_classes=cfg.head.num_classes,
-                    target_stds=cfg.head.target_stds)
-
-            fns[tuple(canvas)] = jax.jit(predict)
-            continue
-        if cfg.head.type == 'FCOSHead':
-            from kgdet_tpu.core.fcos_loss import decode_detections_fcos
-            grids = build_level_geometry(cfg, canvas)
-
-            def predict(variables, batch, grids=grids):
-                outs = model.apply(variables, batch['image'])
-                return decode_detections_fcos(
-                    outs, grids, batch['img_hw'], batch['scale_factor'],
-                    cfg.test, num_classes=cfg.head.num_classes)
-
-            fns[tuple(canvas)] = jax.jit(predict)
-            continue
-        if cfg.head.type == 'RetinaHead':
-            from kgdet_tpu.core.anchor_loss import decode_detections_anchor
-            from kgdet_tpu.models.retina_head import RetinaHead
-            from kgdet_tpu.ops.anchors import grid_anchors
-            head = RetinaHead(
-                num_classes=cfg.head.num_classes,
-                octave_base_scale=cfg.head.octave_base_scale,
-                scales_per_octave=cfg.head.scales_per_octave,
-                anchor_ratios=cfg.head.anchor_ratios,
-                anchor_strides=cfg.head.point_strides)
-            anchors = [
-                grid_anchors(base, -(-canvas[0] // s), -(-canvas[1] // s), s)
-                for base, s in zip(head.base_anchors_per_level(),
-                                   cfg.head.point_strides)]
-
-            def predict(variables, batch, anchors=anchors):
-                outs = model.apply(variables, batch['image'])
-                return decode_detections_anchor(
-                    outs, anchors, batch['img_hw'], batch['scale_factor'],
-                    cfg.test, num_classes=cfg.head.num_classes)
         else:
-            grids = build_level_geometry(cfg, canvas)
+            decode = get_head_family(cfg.head.type).make_decode(cfg, canvas)
 
-            def predict(variables, batch, grids=grids):
+            def predict(variables, batch, decode=decode):
                 outs = model.apply(variables, batch['image'])
-                return decode_detections(
-                    outs, grids, batch['img_hw'], batch['scale_factor'],
-                    cfg.test, num_keypts=cfg.head.num_keypts)
+                return decode(outs, batch['img_hw'],
+                              batch['scale_factor'])
 
         fns[tuple(canvas)] = jax.jit(predict)
     return fns
@@ -255,12 +184,18 @@ def run_inference(model, variables, cfg: KGDetConfig, loader: DataLoader,
             'img_hw': jnp.asarray(batch['img_hw']),
             'scale_factor': jnp.asarray(batch['scale_factor']),
         }
+        if 'proposals' in batch:
+            feed['proposals'] = jnp.asarray(batch['proposals'])
+            feed['proposals_valid'] = jnp.asarray(
+                batch['proposals_valid'])
         dets = predict_fns[canvas](variables, feed)
         det_bboxes = np.asarray(dets['det_bboxes'])
         det_labels = np.asarray(dets['det_labels'])
         det_kpts = np.asarray(dets['det_kpts'])
         det_masks = (np.asarray(dets['det_masks'])
                      if 'det_masks' in dets else None)
+        mask_scores = (np.asarray(dets['det_mask_scores'])
+                       if 'det_mask_scores' in dets else None)
         valid = np.asarray(dets['valid'])
         for i, img_id in enumerate(batch['img_id'].tolist()):
             if img_id in results:
@@ -269,6 +204,8 @@ def run_inference(model, variables, cfg: KGDetConfig, loader: DataLoader,
             entry = [det_bboxes[i][v], det_labels[i][v], det_kpts[i][v]]
             if det_masks is not None:
                 entry.append(det_masks[i][v])
+                if mask_scores is not None:
+                    entry.append(mask_scores[i][v])
             results[img_id] = tuple(entry)
             n_done += 1
         if verbose:
@@ -353,7 +290,9 @@ def _write_segm_json(results, img_ids, dataset, path):
         entry = results[img_id]
         if len(entry) < 4:
             continue
-        dets, labels, _, masks = entry
+        dets, labels, _, masks = entry[:4]
+        # Mask Scoring R-CNN carries rescored mask scores as a 5th slot
+        scores = entry[4] if len(entry) > 4 else dets[:, 4]
         info = dataset.coco.imgs[img_id]
         h, w = info['height'], info['width']
         full = paste_masks(dets, masks, h, w)
@@ -362,7 +301,7 @@ def _write_segm_json(results, img_ids, dataset, path):
             out.append({
                 'image_id': int(img_id),
                 'category_id': int(dataset.cat_ids[int(labels[i])]),
-                'score': round(float(dets[i][4]), 4),
+                'score': round(float(scores[i]), 4),
                 'segmentation': {'size': [h, w],
                                  'counts': rle.to_string().decode()},
             })

@@ -75,3 +75,14 @@ class FPN(nn.Module):
         if self.select_out is not None:
             return tuple(outs[i] for i in self.select_out)
         return tuple(outs)
+
+    @classmethod
+    def from_config(cls, ncfg, dtype=jnp.float32, name='neck'):
+        """Build from a NeckConfig (shared by every detector family)."""
+        return cls(in_channels=ncfg.in_channels,
+                   out_channels=ncfg.out_channels,
+                   start_level=ncfg.start_level, end_level=ncfg.end_level,
+                   num_outs=ncfg.num_outs,
+                   add_extra_convs=ncfg.add_extra_convs,
+                   select_out=ncfg.select_out, norm=ncfg.norm,
+                   gn_groups=ncfg.gn_groups, dtype=dtype, name=name)

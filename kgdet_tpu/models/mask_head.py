@@ -56,6 +56,122 @@ class FCNMaskHead(nn.Module):
         return (logits, feat) if return_feat else logits
 
 
+class MaskIoUHead(nn.Module):
+    """Mask-IoU regressor (Mask Scoring R-CNN).
+
+    Parity surface: reference mask_heads/maskiou_head.py:13-98 — input is
+    the 14x14 mask RoI features concatenated with the predicted mask
+    (sigmoid, 2x2-maxpooled from 28x28), 4 convs (last stride 2), 2 fcs,
+    per-class IoU outputs. Fixed-shape adaptation (documented): the
+    concatenated mask channel is the best-scoring class's mask for every
+    RoI (the reference feeds the sampled positive's GT-class mask); the
+    loss still supervises the assigned-label output channel.
+    """
+    num_classes: int = 13
+    conv_channels: int = 256
+    fc_channels: int = 1024
+    num_convs: int = 4
+    num_fcs: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mask_feats, mask_pred):
+        """mask_feats (..., 14, 14, C), mask_pred (..., 28, 28) logits of
+        the selected class -> (..., num_classes) IoU predictions."""
+        pooled = nn.max_pool(
+            jax.nn.sigmoid(mask_pred.astype(self.dtype))[..., None],
+            (2, 2), strides=(2, 2))
+        x = jnp.concatenate([mask_feats, pooled], axis=-1)
+        for i in range(self.num_convs):
+            stride = 2 if i == self.num_convs - 1 else 1
+            x = nn.relu(nn.Conv(
+                self.conv_channels, (3, 3), strides=(stride, stride),
+                padding=[(1, 1), (1, 1)], kernel_init=normal_init(0.01),
+                dtype=self.dtype, name=f'conv_{i}')(x))
+        x = x.reshape(x.shape[:-3] + (-1,))
+        for i in range(self.num_fcs):
+            x = nn.relu(nn.Dense(
+                self.fc_channels,
+                kernel_init=nn.initializers.variance_scaling(
+                    1.0 / 3, 'fan_in', 'uniform'),
+                dtype=self.dtype, name=f'fc_{i}')(x))
+        return nn.Dense(self.num_classes, kernel_init=normal_init(0.01),
+                        dtype=self.dtype, name='fc_mask_iou')(x)
+
+
+def maskiou_targets(mask_logits_cls, mask_t, thr=0.5):
+    """IoU between the thresholded predicted mask and its GT mask crop.
+
+    mask_logits_cls: (B, R, S, S) selected-class logits; mask_t: (B, R, S,
+    S) targets in [0, 1]. The reference additionally rescales the GT area
+    by the inside-box ratio (maskiou_head.py get_target) to approximate the
+    full-instance IoU; with crop-aligned soft targets the in-box IoU is the
+    fixed-shape analog.
+    """
+    pred = (jax.nn.sigmoid(mask_logits_cls.astype(jnp.float32)) > thr) \
+        .astype(jnp.float32)
+    tgt = (mask_t > thr).astype(jnp.float32)
+    inter = (pred * tgt).sum(axis=(-1, -2))
+    union = pred.sum(axis=(-1, -2)) + tgt.sum(axis=(-1, -2)) - inter
+    return inter / jnp.maximum(union, 1e-7)
+
+
+class FusedSemanticHead(nn.Module):
+    """Multi-level fused semantic segmentation branch (HTC).
+
+    Parity surface: reference mask_heads/fused_semantic_head.py:11-108 —
+    per-level lateral 1x1 convs summed at the fusion level (bilinear
+    resize), 4 3x3 convs, then a 1x1 stuff-logit head and a 1x1 embedding
+    whose RoI pooling is added to the box/mask features.
+    """
+    num_ins: int = 5
+    fusion_level: int = 1
+    num_convs: int = 4
+    conv_channels: int = 256
+    num_classes: int = 183
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        assert len(feats) == self.num_ins
+        lat = [nn.Conv(self.conv_channels, (1, 1),
+                       kernel_init=normal_init(0.01), dtype=self.dtype,
+                       name=f'lateral_convs_{i}') for i in range(self.num_ins)]
+        ref = feats[self.fusion_level]
+        H, W = ref.shape[1:3]
+        x = lat[self.fusion_level](ref)
+        for i, f in enumerate(feats):
+            if i == self.fusion_level:
+                continue
+            r = jax.image.resize(f, f.shape[:1] + (H, W) + f.shape[3:],
+                                 method='bilinear')
+            x = x + lat[i](r)
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(
+                self.conv_channels, (3, 3), padding='SAME',
+                kernel_init=normal_init(0.01), dtype=self.dtype,
+                name=f'convs_{i}')(x))
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         kernel_init=normal_init(0.01), dtype=self.dtype,
+                         name='conv_logits')(x)
+        embedding = nn.relu(nn.Conv(
+            self.conv_channels, (1, 1), kernel_init=normal_init(0.01),
+            dtype=self.dtype, name='conv_embedding')(x))
+        return logits, embedding
+
+
+def semantic_loss(logits, gt_seg, ignore_label=255, loss_weight=0.2):
+    """Pixel CE on the stride-8 stuff map (fused_semantic_head.py loss)."""
+    logits = logits.astype(jnp.float32)
+    C = logits.shape[-1]
+    valid = (gt_seg != ignore_label) & (gt_seg >= 0) & (gt_seg < C)
+    labels = jnp.clip(gt_seg, 0, C - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, ce, 0.0)
+    return loss_weight * ce.sum() / jnp.maximum(valid.sum(), 1)
+
+
 def mask_targets(gt_masks, assigned_gt, proposals, mask_stride,
                  out_size=28):
     """Crop each proposal's assigned GT mask to (out, out).

@@ -32,9 +32,10 @@ ARCH_SETTINGS = {
 }
 
 
-def _conv(features, k, s=1, name=None):
+def _conv(features, k, s=1, name=None, groups=1):
     return nn.Conv(features, (k, k), strides=(s, s), padding=[(k // 2,) * 2] * 2,
-                   use_bias=False, kernel_init=he_normal_init(), name=name)
+                   use_bias=False, kernel_init=he_normal_init(),
+                   feature_group_count=groups, name=name)
 
 
 class DeformConv3x3(nn.Module):
@@ -50,13 +51,14 @@ class DeformConv3x3(nn.Module):
     """
     features: int
     stride: int = 1
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         import numpy as np
 
-        from kgdet_tpu.ops.deform import deform_conv
+        from kgdet_tpu.ops.deform import deform_conv, deform_sample
 
         B, H, W, C = x.shape
         offs = nn.Conv(18, (3, 3), strides=(self.stride, self.stride),
@@ -67,9 +69,23 @@ class DeformConv3x3(nn.Module):
         base = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], indexing='ij'),
                         axis=-1).reshape(9, 2).astype(np.float32)
         rel = offs.reshape(B, Ho, Wo, 9, 2) + jnp.asarray(base)
-        w = self.param('weight', he_normal_init(), (9, C, self.features),
-                       jnp.float32)
-        return deform_conv(x, rel, w.astype(self.dtype), stride=self.stride)
+        g = self.groups
+        w = self.param('weight', he_normal_init(),
+                       (9, C // g, self.features), jnp.float32)
+        if g == 1:
+            return deform_conv(x, rel, w.astype(self.dtype),
+                               stride=self.stride)
+        # grouped DCN (ResNeXt): one shared gather, block-diagonal MXU
+        # contraction per channel group (torch grouped-conv weight layout:
+        # output channel f serves group f // (F/g))
+        samples = deform_sample(x, rel, stride=self.stride)  # (B, P, 9, C)
+        P = samples.shape[1]
+        F = self.features
+        out = jnp.einsum(
+            'bpkgc,kcgf->bpgf',
+            samples.reshape(B, P, 9, g, C // g),
+            w.astype(self.dtype).reshape(9, C // g, g, F // g))
+        return out.reshape(B, Ho, Wo, F)
 
 
 def s2d_stem_conv(x, w):
@@ -141,21 +157,29 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False
     style: str = 'pytorch'
     plugin: Any = None     # None | 'gcb' | 'nonlocal' | 'gen_attention'
+    # ResNeXt grouped-bottleneck knobs (reference backbones/resnext.py:
+    # width = floor(planes * base_width / 64) * groups when groups > 1)
+    groups: int = 1
+    base_width: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64)) * self.groups
         c1s = self.stride if self.style == 'caffe' else 1
         c2s = 1 if self.style == 'caffe' else self.stride
-        out = _conv(self.planes, 1, c1s, 'conv1')(x)
+        out = _conv(width, 1, c1s, 'conv1')(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
         if self.use_dcn:
-            out = DeformConv3x3(self.planes, stride=c2s,
+            out = DeformConv3x3(width, stride=c2s, groups=self.groups,
                                 dtype=self.dtype, name='conv2')(out)
         else:
-            out = _conv(self.planes, 3, c2s, 'conv2')(out)
+            out = _conv(width, 3, c2s, 'conv2', groups=self.groups)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
         if self.plugin == 'gen_attention':
@@ -200,6 +224,9 @@ class ResNet(nn.Module):
     gen_attention_stages: Tuple[int, ...] = ()
     # 'pytorch' (stride on 3x3) | 'caffe' (stride on the first 1x1)
     style: str = 'pytorch'
+    # grouped bottlenecks (ResNeXt); groups=1 is plain ResNet
+    groups: int = 1
+    base_width: int = 4
     # exact space-to-depth stem (see s2d_stem_conv); same params either way
     s2d_stem: bool = True
     dtype: Any = jnp.float32
@@ -239,7 +266,8 @@ class ResNet(nn.Module):
                 kwargs = {}
                 if block_cls is Bottleneck:
                     kwargs = dict(use_dcn=use_dcn, plugin=plugin,
-                                  style=self.style)
+                                  style=self.style, groups=self.groups,
+                                  base_width=self.base_width)
                 x = block_cls(planes=planes, stride=s, downsample=need_ds,
                               dtype=self.dtype,
                               name=f'layer{stage + 1}/{i}', **kwargs)(x)
@@ -254,3 +282,36 @@ class ResNet(nn.Module):
         block_type, _ = ARCH_SETTINGS[depth]
         e = 1 if block_type == 'basic' else 4
         return [64 * e, 128 * e, 256 * e, 512 * e]
+
+    @classmethod
+    def from_config(cls, bcfg, dtype=jnp.float32, name='backbone'):
+        """Build from a BackboneConfig (shared by every detector family)."""
+        return cls(depth=bcfg.depth, num_stages=bcfg.num_stages,
+                   out_indices=bcfg.out_indices, dcn_stages=bcfg.dcn_stages,
+                   gcb_stages=bcfg.gcb_stages,
+                   nonlocal_stages=bcfg.nonlocal_stages,
+                   gen_attention_stages=bcfg.gen_attention_stages,
+                   style=bcfg.style, groups=bcfg.groups,
+                   base_width=bcfg.base_width, dtype=dtype, name=name)
+
+
+class ResNeXt(ResNet):
+    """Grouped-bottleneck ResNeXt (reference backbones/resnext.py:1-90):
+    identical topology to ResNet with width = floor(planes*base_width/64) *
+    groups on the 3x3 (grouped) conv. Registered separately so configs can
+    say type='ResNeXt' like the reference registry does."""
+    groups: int = 32
+    base_width: int = 4
+
+    @classmethod
+    def from_config(cls, bcfg, dtype=jnp.float32, name='backbone'):
+        # BackboneConfig groups=1 means "unset" for ResNeXt: fall back to
+        # the canonical 32x4d recipe
+        groups = bcfg.groups if bcfg.groups != 1 else 32
+        return cls(depth=bcfg.depth, num_stages=bcfg.num_stages,
+                   out_indices=bcfg.out_indices, dcn_stages=bcfg.dcn_stages,
+                   gcb_stages=bcfg.gcb_stages,
+                   nonlocal_stages=bcfg.nonlocal_stages,
+                   gen_attention_stages=bcfg.gen_attention_stages,
+                   style=bcfg.style, groups=groups,
+                   base_width=bcfg.base_width, dtype=dtype, name=name)

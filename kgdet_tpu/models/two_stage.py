@@ -257,6 +257,94 @@ class DoubleConvFCBBoxHead(nn.Module):
         return cls.reshape(lead + (-1,)), reg.reshape(lead + (-1,))
 
 
+class SharedResLayer(nn.Module):
+    """C4-style shared head: ResNet stage-4 bottlenecks over RoI features
+    (reference shared_heads/res_layer.py:13-60 — layer4 via make_res_layer,
+    BN in eval mode). Param paths mirror torch (shared_head.layer4.<i>.*).
+    """
+    depth: int = 50
+    stride: int = 2
+    style: str = 'pytorch'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from kgdet_tpu.models.resnet import ARCH_SETTINGS, Bottleneck
+        n_blocks = ARCH_SETTINGS[self.depth][1][3]
+        for i in range(n_blocks):
+            x = Bottleneck(planes=512, stride=self.stride if i == 0 else 1,
+                           downsample=i == 0, style=self.style,
+                           dtype=self.dtype, name=f'layer4/{i}')(x)
+        return x
+
+
+class AvgPoolBBoxHead(nn.Module):
+    """Plain box head: global average pool + fc_cls / fc_reg (reference
+    bbox_heads/bbox_head.py with with_avg_pool=True, no shared fcs)."""
+    num_classes: int = 13
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.mean(axis=(1, 2))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=normal_init(0.01),
+                       dtype=self.dtype, name='fc_cls')(x)
+        reg_dim = 4 if self.reg_class_agnostic \
+            else 4 * (self.num_classes + 1)
+        reg = nn.Dense(reg_dim, kernel_init=normal_init(0.001),
+                       dtype=self.dtype, name='fc_reg')(x)
+        return cls, reg
+
+
+class RPNDetector(nn.Module):
+    """Standalone RPN: backbone -> neck -> RPN head -> padded proposals.
+
+    Parity surface: reference detectors/rpn.py — forward_train is the RPN
+    loss only; simple_test returns score-ranked proposals evaluated by
+    AR@N recall (core/evaluation/recall.py) instead of mAP.
+    """
+    cfg: Any                          # KGDetConfig
+    num_proposals_train: int = 512
+    num_proposals_test: int = 1000
+
+    @nn.compact
+    def __call__(self, images, img_hw=None, train: bool = True):
+        from kgdet_tpu.models.detector import (
+            build_backbone, build_neck, compute_dtype)
+        from kgdet_tpu.ops.anchors import grid_anchors
+
+        if img_hw is None:
+            img_hw = jnp.tile(
+                jnp.asarray([[images.shape[1], images.shape[2]]],
+                            jnp.float32), (images.shape[0], 1))
+        cfg = self.cfg
+        dtype = compute_dtype(cfg)
+        backbone = build_backbone(cfg, dtype)
+        neck = build_neck(cfg, dtype)
+        scales = list(cfg.head.anchor_scales)
+        rpn = RPNHead(in_channels=cfg.neck.out_channels,
+                      feat_channels=cfg.neck.out_channels,
+                      num_anchors=len(scales) * len(cfg.head.anchor_ratios),
+                      dtype=dtype, name='rpn_head')
+        feats = backbone(images)
+        if neck is not None:
+            feats = neck(feats)
+        rpn_outs = rpn(feats)
+        strides = cfg.head.point_strides
+        anchors = [grid_anchors(
+            base_anchors(s, scales, cfg.head.anchor_ratios),
+            f.shape[1], f.shape[2], s)
+            for f, s in zip(feats, strides)]
+        n_prop = (self.num_proposals_train if train
+                  else self.num_proposals_test)
+        proposals, prop_scores, prop_valid = rpn_proposals(
+            rpn_outs, anchors, img_hw, max_num=n_prop)
+        return dict(rpn_outs=rpn_outs, anchors=anchors,
+                    proposals=proposals, proposal_scores=prop_scores,
+                    proposal_valid=prop_valid)
+
+
 class CascadeRCNN(nn.Module):
     """Cascade R-CNN: shared RPN + N RoI box heads with rising IoU regimes.
 
@@ -270,17 +358,20 @@ class CascadeRCNN(nn.Module):
     num_stages: int = 3
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
-    # HTC (hybrid task cascade, without-semantic variant): per-stage mask
-    # heads with mask information flow (reference htc.py / htc_mask_head.py)
+    # HTC (hybrid task cascade): per-stage mask heads with mask information
+    # flow (reference htc.py / htc_mask_head.py)
     with_mask: bool = False
+    # HTC semantic-fusion branch: stride-8 stuff segmentation whose
+    # embedding is RoI-added to the box/mask features (fused_semantic_head)
+    with_semantic: bool = False
     num_mask_train: int = 64
     num_mask_test: int = 128
 
     @nn.compact
     def __call__(self, images, img_hw=None, train: bool = True):
         from kgdet_tpu.core.two_stage_loss import CASCADE_STAGE_STDS
-        from kgdet_tpu.models.fpn import FPN
-        from kgdet_tpu.models.resnet import ResNet
+        from kgdet_tpu.models.detector import (
+            build_backbone, build_neck, compute_dtype)
         from kgdet_tpu.ops.anchors import grid_anchors
 
         if img_hw is None:
@@ -288,26 +379,22 @@ class CascadeRCNN(nn.Module):
                 jnp.asarray([[images.shape[1], images.shape[2]]],
                             jnp.float32), (images.shape[0], 1))
         cfg = self.cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
-            else jnp.float32
-        backbone = ResNet(depth=cfg.backbone.depth, dtype=dtype,
-                          name='backbone')
-        neck = FPN(in_channels=cfg.neck.in_channels,
-                   out_channels=cfg.neck.out_channels,
-                   start_level=cfg.neck.start_level,
-                   num_outs=cfg.neck.num_outs, add_extra_convs=False,
-                   select_out=None, norm=cfg.neck.norm,
-                   gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
+        dtype = compute_dtype(cfg)
+        backbone = build_backbone(cfg, dtype)
+        neck = build_neck(cfg, dtype)
+        scales = list(cfg.head.anchor_scales)
         rpn = RPNHead(in_channels=cfg.neck.out_channels,
                       feat_channels=cfg.neck.out_channels,
-                      num_anchors=len(cfg.head.anchor_ratios), dtype=dtype,
-                      name='rpn_head')
+                      num_anchors=len(scales) * len(cfg.head.anchor_ratios),
+                      dtype=dtype, name='rpn_head')
 
-        feats = neck(backbone(images))
+        feats = backbone(images)
+        if neck is not None:
+            feats = neck(feats)
         rpn_outs = rpn(feats)
         strides = cfg.head.point_strides
         anchors = [grid_anchors(
-            base_anchors(s, [8.0], cfg.head.anchor_ratios),
+            base_anchors(s, scales, cfg.head.anchor_ratios),
             f.shape[1], f.shape[2], s)
             for f, s in zip(feats, strides)]
         n_prop = (self.num_proposals_train if train
@@ -317,12 +404,42 @@ class CascadeRCNN(nn.Module):
         boxes = jax.lax.stop_gradient(proposals)
 
         feats_d = [f.astype(dtype) for f in feats]
+        semantic_feat = None
+        sem_out = {}
+        if self.with_semantic:
+            from kgdet_tpu.models.mask_head import FusedSemanticHead
+            sem_head = FusedSemanticHead(
+                num_ins=len(feats_d),
+                conv_channels=cfg.neck.out_channels,
+                num_classes=getattr(cfg.head, 'num_stuff_classes', 183),
+                dtype=dtype, name='semantic_head')
+            sem_pred, semantic_feat = sem_head(feats_d)
+            sem_out['semantic_pred'] = sem_pred
+            sem_stride = strides[1] if len(strides) > 1 else strides[0]
+
+        def add_semantic(roi_feats, rois, valid, out_size):
+            """RoI-pool the semantic embedding (fusion-level stride) and
+            add it to the task features (htc.py:56-76)."""
+            if semantic_feat is None:
+                return roi_feats
+            B_, R_ = rois.shape[:2]
+            batch_idx = jnp.broadcast_to(
+                jnp.arange(B_)[:, None], (B_, R_))
+            r5 = jnp.concatenate(
+                [batch_idx[..., None].astype(rois.dtype), rois],
+                axis=-1).reshape(B_ * R_, 5)
+            s = roi_align(semantic_feat, r5, out_size=out_size,
+                          spatial_scale=1.0 / sem_stride, sample_num=2)
+            s = jnp.where(valid.reshape(-1)[:, None, None, None], s, 0)
+            return roi_feats + s.reshape(roi_feats.shape)
+
         w = img_hw[:, 1][:, None]
         h = img_hw[:, 0][:, None]
         stages = []
         for i in range(self.num_stages):
             roi_feats = extract_roi_feats(feats_d, strides, boxes,
                                           prop_valid)
+            roi_feats = add_semantic(roi_feats, boxes, prop_valid, 7)
             head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
                                   in_channels=cfg.neck.out_channels,
                                   reg_class_agnostic=True, dtype=dtype,
@@ -343,7 +460,7 @@ class CascadeRCNN(nn.Module):
 
         out = dict(rpn_outs=rpn_outs, anchors=anchors,
                    proposals=proposals, proposal_scores=prop_scores,
-                   proposal_valid=prop_valid, stages=stages)
+                   proposal_valid=prop_valid, stages=stages, **sem_out)
 
         if self.with_mask:
             from kgdet_tpu.models.mask_head import FCNMaskHead
@@ -377,9 +494,10 @@ class CascadeRCNN(nn.Module):
                 out['mask_boxes'] = mprops
                 out['mask_scores'] = take(fg)
                 out['mask_valid'] = mvalid
+            mprops_sg = jax.lax.stop_gradient(mprops)
             mfeats = extract_roi_feats(
-                feats_d, strides, jax.lax.stop_gradient(mprops), mvalid,
-                out_size=14)
+                feats_d, strides, mprops_sg, mvalid, out_size=14)
+            mfeats = add_semantic(mfeats, mprops_sg, mvalid, 14)
             flat = mfeats.reshape((B * K,) + mfeats.shape[2:])
             res = None
             stage_logits = []
@@ -415,77 +533,105 @@ class FasterRCNN(nn.Module):
     """
     cfg: Any                         # KGDetConfig
     with_mask: bool = False
+    # Mask Scoring R-CNN: per-class mask-IoU regressor rescoring masks
+    with_maskiou: bool = False
     with_grid: bool = False
+    # Fast R-CNN mode: proposals come in as inputs (reference
+    # detectors/fast_rcnn.py), no RPN is built
+    external_proposals: bool = False
     num_proposals_train: int = 512
     num_proposals_test: int = 1000
     num_grid_train: int = 64
     num_grid_test: int = 128
 
     @nn.compact
-    def __call__(self, images, img_hw=None, train: bool = True):
+    def __call__(self, images, img_hw=None, train: bool = True,
+                 proposals=None, proposals_valid=None):
         if img_hw is None:
             img_hw = jnp.tile(
                 jnp.asarray([[images.shape[1], images.shape[2]]],
                             jnp.float32), (images.shape[0], 1))
-        from kgdet_tpu.config import BACKBONES, NECKS
-        from kgdet_tpu.models.fpn import FPN
-        from kgdet_tpu.models.resnet import ResNet
+        from kgdet_tpu.models.detector import (
+            build_backbone, build_neck, compute_dtype)
         from kgdet_tpu.ops.anchors import grid_anchors
 
         cfg = self.cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
-            else jnp.float32
-        backbone = ResNet(depth=cfg.backbone.depth, dtype=dtype,
-                          name='backbone')
-        neck = FPN(in_channels=cfg.neck.in_channels,
-                   out_channels=cfg.neck.out_channels,
-                   start_level=cfg.neck.start_level,
-                   num_outs=cfg.neck.num_outs, add_extra_convs=False,
-                   select_out=None, norm=cfg.neck.norm,
-                   gn_groups=cfg.neck.gn_groups, dtype=dtype, name='neck')
-        if cfg.rpn_type == 'ga_rpn':
+        dtype = compute_dtype(cfg)
+        backbone = build_backbone(cfg, dtype)
+        neck = build_neck(cfg, dtype)
+        scales = list(cfg.head.anchor_scales)
+        feats = backbone(images)
+        if neck is not None:
+            feats = neck(feats)
+        strides = cfg.head.point_strides
+        n_prop = (self.num_proposals_train if train
+                  else self.num_proposals_test)
+
+        if self.external_proposals:
+            # Fast R-CNN: no RPN; precomputed proposals ride the batch
+            if proposals is None:
+                raise ValueError(
+                    'fast_rcnn requires proposals inputs (set '
+                    'DataConfig.proposal_file)')
+            rpn_outs, anchors = None, None
+            prop_valid = (proposals_valid if proposals_valid is not None
+                          else jnp.ones(proposals.shape[:2], bool))
+            prop_scores = prop_valid.astype(jnp.float32)
+        elif cfg.rpn_type == 'ga_rpn':
             from kgdet_tpu.models.ga_head import GARPNHead
             rpn = GARPNHead(in_channels=cfg.neck.out_channels,
                             feat_channels=cfg.neck.out_channels,
                             dtype=dtype, name='rpn_head')
-        else:
-            rpn = RPNHead(in_channels=cfg.neck.out_channels,
-                          feat_channels=cfg.neck.out_channels,
-                          num_anchors=len(cfg.head.anchor_ratios),
-                          dtype=dtype, name='rpn_head')
-        if cfg.detector_type == 'double_head_rcnn':
-            bbox_head = DoubleConvFCBBoxHead(
-                num_classes=cfg.head.num_classes, dtype=dtype,
-                name='bbox_head')
-        else:
-            bbox_head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
-                                       in_channels=cfg.neck.out_channels,
-                                       dtype=dtype, name='bbox_head')
-
-        feats = neck(backbone(images))
-        rpn_outs = rpn(feats)
-
-        strides = cfg.head.point_strides
-        n_prop = (self.num_proposals_train if train
-                  else self.num_proposals_test)
-        if cfg.rpn_type == 'ga_rpn':
             from kgdet_tpu.core.ga_loss import ga_rpn_proposals
+            rpn_outs = rpn(feats)
             anchors = None
             canvas = (images.shape[1], images.shape[2])
             proposals, prop_scores, prop_valid = ga_rpn_proposals(
                 rpn_outs, cfg.head, canvas, img_hw, max_num=n_prop)
         else:
+            rpn = RPNHead(in_channels=cfg.neck.out_channels,
+                          feat_channels=cfg.neck.out_channels,
+                          num_anchors=len(scales) *
+                          len(cfg.head.anchor_ratios),
+                          dtype=dtype, name='rpn_head')
+            rpn_outs = rpn(feats)
             anchors = [grid_anchors(
-                base_anchors(s, [8.0], cfg.head.anchor_ratios),
+                base_anchors(s, scales, cfg.head.anchor_ratios),
                 f.shape[1], f.shape[2], s)
                 for f, s in zip(feats, strides)]
             proposals, prop_scores, prop_valid = rpn_proposals(
                 rpn_outs, anchors, img_hw, max_num=n_prop)
         proposals = jax.lax.stop_gradient(proposals)
 
+        rcnn_head = getattr(cfg, 'rcnn_head', 'convfc')
+        if cfg.detector_type == 'double_head_rcnn':
+            bbox_head = DoubleConvFCBBoxHead(
+                num_classes=cfg.head.num_classes, dtype=dtype,
+                name='bbox_head')
+            roi_size = 7
+        elif rcnn_head == 'res_layer':
+            shared = SharedResLayer(depth=cfg.backbone.depth,
+                                    style=cfg.backbone.style, dtype=dtype,
+                                    name='shared_head')
+            avg_head = AvgPoolBBoxHead(num_classes=cfg.head.num_classes,
+                                       dtype=dtype, name='bbox_head')
+
+            def bbox_head(rf):
+                lead = rf.shape[:-3]
+                flat = rf.reshape((-1,) + rf.shape[-3:])
+                cls, reg = avg_head(shared(flat))
+                return (cls.reshape(lead + (-1,)),
+                        reg.reshape(lead + (-1,)))
+            roi_size = 14
+        else:
+            bbox_head = ConvFCBBoxHead(num_classes=cfg.head.num_classes,
+                                       in_channels=cfg.neck.out_channels,
+                                       dtype=dtype, name='bbox_head')
+            roi_size = 7
+
         feats_d = [f.astype(dtype) for f in feats]
         roi_feats = extract_roi_feats(feats_d, strides, proposals,
-                                      prop_valid)
+                                      prop_valid, out_size=roi_size)
         roi_cls, roi_reg = bbox_head(roi_feats)
         out = dict(rpn_outs=rpn_outs, anchors=anchors, proposals=proposals,
                    proposal_scores=prop_scores, proposal_valid=prop_valid,
@@ -563,5 +709,17 @@ class FasterRCNN(nn.Module):
             mask_feats = extract_roi_feats(
                 feats_d, strides, jax.lax.stop_gradient(mask_boxes),
                 prop_valid, out_size=14)
-            out['mask_logits'] = mask_head(mask_feats)  # (B, R, 28, 28, C)
+            mask_logits = mask_head(mask_feats)         # (B, R, 28, 28, C)
+            out['mask_logits'] = mask_logits
+            if self.with_maskiou:
+                from kgdet_tpu.models.mask_head import MaskIoUHead
+                iou_head = MaskIoUHead(num_classes=cfg.head.num_classes,
+                                       dtype=dtype, name='mask_iou_head')
+                fg = jax.nn.softmax(
+                    roi_cls.astype(jnp.float32), axis=-1)[..., 1:]
+                best = jnp.argmax(fg, axis=-1)          # (B, R) 0-based
+                best_mask = jnp.take_along_axis(
+                    mask_logits,
+                    best[..., None, None, None], axis=-1)[..., 0]
+                out['maskiou_pred'] = iou_head(mask_feats, best_mask)
         return out

@@ -20,8 +20,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kgdet_tpu.config import KGDetConfig
-from kgdet_tpu.core.loss import kgdet_loss, serial_loss
-from kgdet_tpu.core.targets import max_iou_targets, point_targets
 from kgdet_tpu.ops.points import grid_points, valid_flags
 
 
@@ -128,98 +126,10 @@ def batch_valid_flags(cfg: KGDetConfig, canvas_hw, valid_hw):
 # --------------------------------------------------------------- train step
 def compute_loss(outs, grids, valids, batch, cfg: KGDetConfig,
                  canvas_hw=None):
-    """Dispatch target building + loss by head family."""
-    if cfg.head.type == 'RetinaHead':
-        from kgdet_tpu.core.anchor_loss import retina_loss
-        from kgdet_tpu.models.retina_head import RetinaHead
-        from kgdet_tpu.ops.anchors import anchor_valid_flags, grid_anchors
-        H, W = canvas_hw
-        head = RetinaHead(
-            num_classes=cfg.head.num_classes,
-            octave_base_scale=cfg.head.octave_base_scale,
-            scales_per_octave=cfg.head.scales_per_octave,
-            anchor_ratios=cfg.head.anchor_ratios,
-            anchor_strides=cfg.head.point_strides)
-        bases = head.base_anchors_per_level()
-        A = head.num_anchors
-        anchors, avalids = [], []
-        for base, stride in zip(bases, cfg.head.point_strides):
-            fh, fw = -(-H // stride), -(-W // stride)
-            anchors.append(grid_anchors(base, fh, fw, stride))
-            vh = jnp.ceil(batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
-            vw = jnp.ceil(batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
-            avalids.append(jax.vmap(
-                lambda a, b: anchor_valid_flags(fh, fw, A, a, b))(vh, vw))
-        ra = cfg.refine_assigner or cfg.assigner
-        return retina_loss(outs, anchors, avalids, batch, cfg.head, ra)
-
-    if cfg.head.type == 'GARetinaHead':
-        from kgdet_tpu.core.ga_loss import ga_loss
-        ra = cfg.refine_assigner or cfg.assigner
-        return ga_loss(outs, batch, cfg.head, ra, canvas_hw)
-
-    if cfg.head.type == 'SSDHead':
-        from kgdet_tpu.core.anchor_loss import ssd_loss
-        from kgdet_tpu.models.ssd_head import SSDHead
-        from kgdet_tpu.ops.anchors import anchor_valid_flags, grid_anchors
-        H, W = canvas_hw
-        head = SSDHead(
-            num_classes=cfg.head.num_classes,
-            anchor_strides=cfg.head.point_strides,
-            input_size=cfg.head.ssd_input_size,
-            basesize_ratio_range=cfg.head.ssd_basesize_ratio_range,
-            anchor_ratios=cfg.head.ssd_anchor_ratios)
-        anchors, avalids = [], []
-        for base, stride, A in zip(head.base_anchors_per_level(),
-                                   cfg.head.point_strides,
-                                   head.num_anchors_per_level()):
-            fh, fw = -(-H // stride), -(-W // stride)
-            anchors.append(grid_anchors(base, fh, fw, stride))
-            vh = jnp.ceil(batch['valid_hw'][:, 0] / stride).astype(jnp.int32)
-            vw = jnp.ceil(batch['valid_hw'][:, 1] / stride).astype(jnp.int32)
-            avalids.append(jax.vmap(
-                lambda a, b, fh=fh, fw=fw, A=A: anchor_valid_flags(
-                    fh, fw, A, a, b))(vh, vw))
-        ra = cfg.refine_assigner or cfg.assigner
-        return ssd_loss(outs, anchors, avalids, batch, cfg.head, ra,
-                        neg_pos_ratio=cfg.head.ssd_neg_pos_ratio,
-                        target_stds=cfg.head.target_stds)
-
-    if cfg.head.type == 'FCOSHead':
-        from kgdet_tpu.core.fcos_loss import fcos_loss
-        return fcos_loss(outs, grids, valids, batch, cfg.head)
-
-    init_targets = [
-        point_targets(g, v, batch['gt_bboxes'], batch['gt_labels'],
-                      batch['gt_kpts'], batch['gt_mask'],
-                      scale=cfg.assigner.scale,
-                      pos_num=cfg.assigner.pos_num)
-        for g, v in zip(grids, valids)
-    ]
-    if cfg.head.type in ('KGDetHead', 'KGDetHead1Rep'):
-        return kgdet_loss(outs, grids, init_targets, cfg.head)
-
-    # init/refine heads: refine candidates are the decoded init boxes
-    ra = cfg.refine_assigner
-    if ra is None:
-        raise ValueError(f'{cfg.head.type} requires cfg.refine_assigner')
-    refine_targets = []
-    for o, g, v in zip(outs, grids, valids):
-        stride = g[0, 2]
-        centers = jnp.concatenate([g[:, :2], g[:, :2]], axis=-1)
-        bbox_off = jax.lax.stop_gradient(
-            o['bbox'][0].astype(jnp.float32))
-        B = bbox_off.shape[0]
-        cand = bbox_off.reshape(B, -1, 4) * stride + centers[None]
-        refine_targets.append(max_iou_targets(
-            cand, v, batch['gt_bboxes'], batch['gt_labels'],
-            batch['gt_kpts'], batch['gt_mask'],
-            pos_iou_thr=ra.pos_iou_thr, neg_iou_thr=ra.neg_iou_thr,
-            min_pos_iou=ra.min_pos_iou,
-            gt_bboxes_ignore=batch.get('gt_bboxes_ignore'),
-            gt_ignore_mask=batch.get('gt_ignore_mask'),
-            ignore_iof_thr=getattr(ra, 'ignore_iof_thr', -1.0)))
-    return serial_loss(outs, grids, init_targets, refine_targets, cfg.head)
+    """Dispatch target building + loss through the head-family registry."""
+    from kgdet_tpu.models.families import get_head_family
+    return get_head_family(cfg.head.type).loss(
+        outs, grids, valids, batch, cfg, canvas_hw)
 
 
 def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
@@ -231,19 +141,21 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
     grids = build_level_geometry(cfg, canvas_hw)
 
     def loss_fn(params, batch_stats, batch):
-        if cfg.detector_type in ('faster_rcnn', 'mask_rcnn',
-                                 'cascade_rcnn', 'double_head_rcnn',
-                                 'grid_rcnn', 'htc'):
-            from kgdet_tpu.core.two_stage_loss import (
-                cascade_rcnn_loss, faster_rcnn_loss)
+        from kgdet_tpu.models.families import is_two_stage
+        if is_two_stage(cfg.detector_type):
+            from kgdet_tpu.core.two_stage_loss import two_stage_loss_fn
             from kgdet_tpu.ops.anchors import anchor_valid_flags
 
+            apply_kw = {}
+            if 'proposals' in batch:        # Fast R-CNN external proposals
+                apply_kw = dict(proposals=batch['proposals'],
+                                proposals_valid=batch['proposals_valid'])
             fwd = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
                 batch['image'], batch['valid_hw'].astype(jnp.float32),
-                train=True)
+                train=True, **apply_kw)
             H, W = canvas_hw
-            A = len(cfg.head.anchor_ratios)
+            A = len(cfg.head.anchor_scales) * len(cfg.head.anchor_ratios)
             valids = []
             for stride in cfg.head.point_strides:
                 fh, fw = -(-H // stride), -(-W // stride)
@@ -255,10 +167,8 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
                     lambda a, b: anchor_valid_flags(fh, fw, A, a, b))(
                         vh, vw))
             rng = jax.random.PRNGKey(batch.get('seed', 0))
-            if cfg.detector_type in ('cascade_rcnn', 'htc'):
-                return cascade_rcnn_loss(fwd, batch, rng, cfg, valids)
-            return faster_rcnn_loss(fwd, batch, rng, cfg, valids,
-                                    canvas_hw=canvas_hw)
+            return two_stage_loss_fn(cfg.detector_type)(
+                fwd, batch, rng, cfg, valids, canvas_hw=canvas_hw)
 
         outs = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['image'])

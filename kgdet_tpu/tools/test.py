@@ -25,7 +25,10 @@ def parse_args():
                    help='PyTorch .pth checkpoint to convert and evaluate')
     p.add_argument('--json-out', default=None)
     p.add_argument('--eval', nargs='*', default=['bbox', 'keypoints'],
-                   choices=['bbox', 'keypoints', 'segm'])
+                   choices=['bbox', 'keypoints', 'segm', 'proposal_fast'])
+    p.add_argument('--proposal-nums', type=int, nargs='*',
+                   default=[100, 300, 1000],
+                   help='AR@N cuts for proposal_fast (RPN) evaluation')
     p.add_argument('--batch-size', type=int, default=None)
     p.add_argument('--aug', action='store_true',
                    help='multi-scale/flip test-time augmentation (merge '
@@ -89,6 +92,16 @@ def main():
             shard_id=jax.process_index())
         results = run_inference(model, variables, cfg, loader)
         eval_types = tuple(args.eval)
+    if cfg.detector_type == 'rpn' or 'proposal_fast' in eval_types:
+        # standalone RPN: proposal recall instead of mAP
+        # (reference tools/test.py --eval proposal_fast + recall.py)
+        from kgdet_tpu.eval.recall import eval_proposal_recall
+        rstats = eval_proposal_recall(results, dataset,
+                                      proposal_nums=args.proposal_nums)
+        line = ' '.join(f'{rstats[f"AR@{n}"]:.4f}'
+                        for n in args.proposal_nums)
+        print(f'proposal_AR_copypaste: {line}')
+        return
     stats, files = evaluate_results(
         results, dataset, out_prefix=args.json_out or '/tmp/kgdet_test',
         iou_types=eval_types)

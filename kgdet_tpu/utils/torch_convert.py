@@ -110,8 +110,19 @@ def convert_state_dict(state_dict: Dict[str, Any]):
             _convert_mask_head(parts[1:], v, params, skipped, key)
         elif parts[0] == 'grid_head':
             _convert_grid_head(parts[1:], v, params, skipped, key)
+        elif parts[0] == 'shared_head':
+            _convert_shared_head(parts[1:], v, params, stats, skipped, key)
+        elif parts[0] == 'mask_iou_head':
+            _convert_maskiou_head(parts[1:], v, params, skipped, key)
+        elif parts[0] == 'semantic_head':
+            _convert_semantic_head(parts[1:], v, params, skipped, key)
         else:
             skipped.append(key)
+    head = params.get('head')
+    if head and '_scales_tmp' in head:
+        tmp = head.pop('_scales_tmp')
+        head['scales'] = np.asarray(
+            [float(tmp[k]) for k in sorted(tmp, key=int)], np.float32)
     return params, stats, skipped
 
 
@@ -132,10 +143,73 @@ def _bn(parts, v, params, stats, prefix):
 
 
 def _convert_backbone(parts, v, params, stats, skipped, key, dcn_blocks=()):
-    if parts[0] == 'conv1':
-        _set(params, ('backbone', 'conv1', 'kernel'), _conv_kernel(v))
-    elif parts[0] == 'bn1':
-        _bn(parts, v, params, stats, ('backbone', 'bn1'))
+    # SSDVGG trunk (ssd_vgg.py): features.N / extra.N convs + l2_norm scale
+    if parts[0] in ('features', 'extra'):
+        leaf = 'kernel' if parts[2] == 'weight' else 'bias'
+        _set(params, ('backbone', f'{parts[0]}_{parts[1]}', leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+        return
+    if parts[0] == 'l2_norm':
+        _set(params, ('backbone', 'l2_norm', 'scale'), v)
+        return
+    # HRNet (backbones/hrnet.py): transition chains + multi-branch stages.
+    # flax names with '/' are literal keys, so the conv/bn modules live at
+    # flat keys like 'transition1/0/0/conv'.
+    if re.match(r'transition\d$', parts[0]):
+        # 4-part = channel-fix Sequential(conv, bn, relu) at chain slot 0;
+        # 5-part = new-branch chain of Sequential(conv, bn, relu)
+        if len(parts) == 4:
+            base = f'{parts[0]}/{parts[1]}/0'
+            seq = parts[2]
+        else:
+            base = f'{parts[0]}/{parts[1]}/{parts[2]}'
+            seq = parts[3]
+        if seq == '0':
+            _set(params, ('backbone', f'{base}/conv', 'kernel'),
+                 _conv_kernel(v))
+        else:
+            _bn(parts, v, params, stats, ('backbone', f'{base}/bn'))
+        return
+    if re.match(r'stage\d$', parts[0]):
+        m = parts[1]
+        if parts[2] == 'branches':
+            block = f'{parts[0]}/{m}/branches/{parts[3]}/{parts[4]}'
+            sub = parts[5]
+            prefix = ('backbone', block)
+            if sub.startswith('conv'):
+                _set(params, prefix + (sub, 'kernel'), _conv_kernel(v))
+            elif sub.startswith('bn'):
+                _bn(parts, v, params, stats, prefix + (sub,))
+            elif sub == 'downsample':
+                if parts[6] == '0':
+                    _set(params, prefix + ('downsample_conv', 'kernel'),
+                         _conv_kernel(v))
+                else:
+                    _bn(parts, v, params, stats,
+                        prefix + ('downsample_bn',))
+            else:
+                skipped.append(key)
+            return
+        if parts[2] == 'fuse_layers':
+            i, j = parts[3], parts[4]
+            base = f'{parts[0]}/{m}/fuse_layers/{i}/{j}'
+            if len(parts) == 7:          # j > i: Sequential(conv, bn, up)
+                seq = parts[5]
+            else:                        # j < i: chain .k.(0|1)
+                base = f'{base}/{parts[5]}'
+                seq = parts[6]
+            if seq == '0':
+                _set(params, ('backbone', f'{base}/conv', 'kernel'),
+                     _conv_kernel(v))
+            else:
+                _bn(parts, v, params, stats, ('backbone', f'{base}/bn'))
+            return
+        skipped.append(key)
+        return
+    if parts[0] in ('conv1', 'conv2'):
+        _set(params, ('backbone', parts[0], 'kernel'), _conv_kernel(v))
+    elif parts[0] in ('bn1', 'bn2'):
+        _bn(parts, v, params, stats, ('backbone', parts[0]))
     elif re.match(r'layer\d$', parts[0]):
         block = f'{parts[0]}/{parts[1]}'
         sub = parts[2]
@@ -364,6 +438,69 @@ def _convert_grid_head(parts, v, params, skipped, key):
         skipped.append(key)
 
 
+def _convert_shared_head(parts, v, params, stats, skipped, key):
+    """C4 ResLayer shared head (shared_heads/res_layer.py): layer4.<i>
+    bottlenecks with BN, mapped like the backbone's residual blocks."""
+    if not re.match(r'layer\d$', parts[0]):
+        skipped.append(key)
+        return
+    block = f'{parts[0]}/{parts[1]}'
+    sub = parts[2]
+    prefix = ('shared_head', block)
+    if sub.startswith('conv'):
+        _set(params, prefix + (sub, 'kernel'), _conv_kernel(v))
+    elif sub.startswith('bn'):
+        _bn(parts, v, params, stats, prefix + (sub,))
+    elif sub == 'downsample':
+        if parts[3] == '0':
+            _set(params, prefix + ('downsample_conv', 'kernel'),
+                 _conv_kernel(v))
+        else:
+            _bn(parts, v, params, stats, prefix + ('downsample_bn',))
+    else:
+        skipped.append(key)
+
+
+def _convert_maskiou_head(parts, v, params, skipped, key):
+    """Mask-IoU head (mask_heads/maskiou_head.py): convs.N + fcs.N +
+    fc_mask_iou. The first fc flattens (C, 7, 7) torch-order features."""
+    leaf = parts[-1]
+    if parts[0] == 'convs':
+        _set(params, ('mask_iou_head', f'conv_{parts[1]}',
+                      'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+    elif parts[0] == 'fcs':
+        if leaf == 'weight':
+            k = _roi_flat_fc_kernel(v) if parts[1] == '0' else _fc_kernel(v)
+            _set(params, ('mask_iou_head', f'fc_{parts[1]}', 'kernel'), k)
+        else:
+            _set(params, ('mask_iou_head', f'fc_{parts[1]}', 'bias'), v)
+    elif parts[0] == 'fc_mask_iou':
+        _set(params, ('mask_iou_head', 'fc_mask_iou',
+                      'kernel' if leaf == 'weight' else 'bias'),
+             _fc_kernel(v) if leaf == 'weight' else v)
+    else:
+        skipped.append(key)
+
+
+def _convert_semantic_head(parts, v, params, skipped, key):
+    """HTC fused semantic head (mask_heads/fused_semantic_head.py):
+    lateral_convs.N.conv + convs.N.conv + conv_embedding.conv +
+    conv_logits (norm-free ConvModules)."""
+    leaf = parts[-1]
+    if parts[0] in ('lateral_convs', 'convs'):
+        name = f'{parts[0]}_{parts[1]}'
+        _set(params, ('semantic_head', name,
+                      'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+    elif parts[0] in ('conv_embedding', 'conv_logits'):
+        _set(params, ('semantic_head', parts[0],
+                      'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+    else:
+        skipped.append(key)
+
+
 def _convert_head(parts, v, params, skipped, key):
     # cascade R-CNN: bbox_head.<stage>.<...> (torch ModuleList)
     if parts[0].isdigit():
@@ -382,8 +519,13 @@ def _convert_head(parts, v, params, skipped, key):
     m = re.match(r'(cls|reg)_convs$', parts[0])
     if m:
         name = f'{m.group(1)}_convs_{parts[1]}'
-        mod, leaf = parts[2], parts[3]
-        if mod == 'conv':
+        mod, leaf = parts[2], parts[3] if len(parts) > 3 else None
+        if mod in ('weight', 'bias'):
+            # plain per-level conv lists (reference ssd_head.py:47-48)
+            _set(params, ('head', name, 'kernel' if mod == 'weight'
+                          else 'bias'),
+                 _conv_kernel(v) if mod == 'weight' else v)
+        elif mod == 'conv':
             if leaf == 'weight':
                 _set(params, ('head', name, 'conv', 'kernel'),
                      _conv_kernel(v))
@@ -395,11 +537,38 @@ def _convert_head(parts, v, params, skipped, key):
         else:
             skipped.append(key)
         return
+    # serial/parallel init-refine heads (reppoints_head_kp_serial.py:143-170)
+    if re.match(r'(cls|keypts|reppts)_(init|refine)_dfmconv$', parts[0]):
+        _set(params, ('head', parts[0]), _dcn_kernel(v))
+        return
+    if parts[0] in ('keypts_init_conv', 'reppts_init_conv'):
+        leaf = 'kernel' if parts[1] == 'weight' else 'bias'
+        _set(params, ('head', parts[0], leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+        return
+    if re.match(r'(cls|keypts|reppts)_(init|refine)_out$', parts[0]):
+        leaf = 'kernel' if parts[1] == 'weight' else 'bias'
+        _set(params, ('head', parts[0], leaf),
+             _dense_kernel(v) if leaf == 'kernel' else v)
+        return
+    # FCOS head (fcos_head.py:80-85): 3x3 convs + per-level Scale params
+    if parts[0] in ('fcos_cls', 'fcos_reg', 'fcos_centerness'):
+        leaf = 'kernel' if parts[1] == 'weight' else 'bias'
+        _set(params, ('head', parts[0], leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+        return
+    if parts[0] == 'scales':
+        # scales.<level>.scale scalars -> assembled into the flax 'scales'
+        # vector by convert_state_dict's finalize pass
+        _set(params, ('head', '_scales_tmp', parts[1]), v.reshape(()))
+        return
     m = re.match(r'kp_rep_block_(\d)$', parts[0])
     if m:
         block = parts[0]
         mod, leaf = parts[1], parts[2]
-        if re.match(r'(cls|keypts)_dfmconv_\d$', mod):
+        if re.match(r'(cls|keypts)_dfmconv(_\d)?$', mod):
+            # multi-column heads suffix the kernel size (cls_dfmconv_3/5/7);
+            # the Kp1Rep single-column head does not (kp1rep head :49-57)
             assert leaf == 'weight'
             _set(params, ('head', block, mod), _dcn_kernel(v))
         elif mod in ('cls_out', 'keypts_out', 'reppts_out'):

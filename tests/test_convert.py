@@ -24,7 +24,17 @@ def _flax_to_torch_state(variables):
     def emit(path, v):
         comp = path[0]
         if comp == 'backbone':
-            # all backbone params are conv kernels or bn scale/bias
+            if path[1].startswith(('features_', 'extra_')):
+                # SSDVGG trunk: features.N / extra.N convs
+                kind, idx = path[1].rsplit('_', 1)
+                leaf = 'weight' if path[2] == 'kernel' else 'bias'
+                val = _t_conv(v) if path[2] == 'kernel' else torch.tensor(v)
+                state[f'backbone.{kind}.{idx}.{leaf}'] = val
+                return
+            if path[1] == 'l2_norm':
+                state['backbone.l2_norm.weight'] = torch.tensor(v)
+                return
+            # all other backbone params are conv kernels or bn scale/bias
             name = '.'.join(p.replace('/', '.') for p in path[1:])
             leaf = path[-1]
             if leaf == 'kernel':
@@ -52,8 +62,52 @@ def _flax_to_torch_state(variables):
             if path[1] == 'moment_transfer':
                 state['bbox_head.moment_transfer'] = torch.tensor(v)
                 return
+            if path[1] == 'scales':
+                for i, s in enumerate(np.asarray(v).reshape(-1)):
+                    state[f'bbox_head.scales.{i}.scale'] = torch.tensor(
+                        np.asarray([s], np.float32))
+                return
+            if 'dfmconv' in path[1]:
+                # serial/parallel refine DCN weights live directly on the
+                # head (reppoints_head_kp_serial.py:143-170)
+                state[f'bbox_head.{path[1]}.weight'] = _t_dcn(v)
+                return
+            if path[1].endswith(('_init_out', '_refine_out')):
+                leaf = path[2]
+                if leaf == 'kernel':
+                    w = np.transpose(v, (1, 0))[:, :, None, None]
+                    state[f'bbox_head.{path[1]}.weight'] = torch.tensor(w)
+                else:
+                    state[f'bbox_head.{path[1]}.bias'] = torch.tensor(v)
+                return
+            if path[1] in ('keypts_init_conv', 'reppts_init_conv',
+                           'fcos_cls', 'fcos_reg', 'fcos_centerness',
+                           'retina_cls', 'retina_reg', 'conv_loc',
+                           'conv_shape'):
+                leaf = path[2]
+                val = _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                state[f'bbox_head.{path[1]}.'
+                      f'{"weight" if leaf == "kernel" else "bias"}'] = val
+                return
+            if path[1].startswith('feature_adaption'):
+                if path[2] == 'conv_adaption':
+                    state[f'bbox_head.{path[1]}.conv_adaption.weight'] = \
+                        _t_dcn(v)
+                else:
+                    state[f'bbox_head.{path[1]}.conv_offset.weight'] = \
+                        _t_conv(v)
+                return
             if path[1].startswith(('cls_convs_', 'reg_convs_')):
                 kind, idx = path[1].rsplit('_', 1)
+                if path[2] in ('kernel', 'bias'):
+                    # SSD per-level conv lists (no ConvModule wrapper)
+                    leaf = path[2]
+                    val = _t_conv(v) if leaf == 'kernel' \
+                        else torch.tensor(v)
+                    state[f'bbox_head.{kind}.{idx}.'
+                          f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                        val
+                    return
                 mod, leaf = path[2], path[3]
                 if mod == 'conv':
                     val = _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
@@ -88,6 +142,13 @@ def _flax_to_torch_state(variables):
 
     def _t_conv(v):
         return torch.tensor(np.transpose(v, (3, 2, 0, 1)))
+
+    def _t_dcn(v):
+        # (k2, Cin, Cout) -> (Cout, Cin, k, k)
+        k2, cin, cout = v.shape
+        k = int(np.sqrt(k2))
+        return torch.tensor(
+            np.transpose(v, (2, 1, 0)).reshape(cout, cin, k, k))
 
     walk(variables['params'], [])
     for mod_path, leaves in _flatten_stats(variables['batch_stats']):
@@ -278,3 +339,81 @@ def test_upgrade_model_version_renames():
     assert 'bbox_head.reg_convs.2.conv.weight' in out
     assert 'backbone.conv1.weight' in out
     assert 'bbox_head.cls_convs.0.gn.weight' in out
+
+
+# ---------------------------------------------------- per-family round trips
+def _serial_cfg(parallel=False, plain=False):
+    from kgdet_tpu.config import (AssignConfig, BackboneConfig, HeadConfig,
+                                  KGDetConfig, NeckConfig, TestConfig)
+    htype = ('RepPointsHead' if plain
+             else 'ParallelKpHead' if parallel else 'SerialKpHead')
+    return KGDetConfig(
+        backbone=BackboneConfig(depth=18),
+        neck=NeckConfig(in_channels=(64, 128, 256, 512), out_channels=64,
+                        start_level=1, num_outs=3, add_extra_convs=True,
+                        select_out=None),
+        head=HeadConfig(type=htype, num_classes=13, in_channels=64,
+                        feat_channels=64, point_feat_channels=64,
+                        stacked_convs=1, num_keypts=8, num_reppts=9,
+                        point_strides=(8, 16, 32), gn_groups=8),
+        refine_assigner=AssignConfig(type='MaxIoUAssigner'),
+        test=TestConfig(nms_pre=50, max_per_class=10, max_per_img=20))
+
+
+def _family_cfg(family):
+    import dataclasses
+
+    from kgdet_tpu.config import BackboneConfig
+    if family == 'serial':
+        return _serial_cfg()
+    if family == 'parallel':
+        return _serial_cfg(parallel=True)
+    if family == 'reppoints':
+        return _serial_cfg(plain=True)
+    if family == 'kgdet1rep':
+        cfg = tiny_cfg()
+        return cfg.replace(head=dataclasses.replace(
+            cfg.head, type='KGDetHead1Rep', num_reppts=9))
+    if family == 'retina':
+        from tests.test_retina import retina_cfg
+        return retina_cfg()
+    if family == 'fcos':
+        from tests.test_fcos import fcos_cfg
+        return fcos_cfg()
+    if family == 'ssd':
+        from tests.test_ssd import ssd_cfg
+        return ssd_cfg()
+    if family == 'ga_retina':
+        from tests.test_ga import ga_cfg
+        return ga_cfg()
+    if family == 'resnext':
+        cfg = tiny_cfg()
+        return cfg.replace(
+            backbone=BackboneConfig(type='ResNeXt', depth=50, groups=4,
+                                    base_width=4),
+            neck=dataclasses.replace(
+                cfg.neck, in_channels=(256, 512, 1024, 2048)))
+    raise KeyError(family)
+
+
+@pytest.mark.parametrize('family', [
+    'serial', 'parallel', 'reppoints', 'kgdet1rep', 'retina', 'fcos',
+    'ssd', 'ga_retina', 'resnext'])
+def test_family_roundtrip_no_skips(family):
+    """Every implemented head family converts with skipped == [] and the
+    round trip (flax -> torch names -> flax) is the identity."""
+    from tests.common import TINY_CANVAS
+    cfg = _family_cfg(family)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, canvas_hw=TINY_CANVAS)
+    state = _flax_to_torch_state(variables)
+    params, stats, skipped = convert_state_dict(state)
+    assert not skipped, skipped
+    merged = merge_into_variables(variables, params, stats, strict=True)
+    flat_a = _leaves(variables['params'])
+    flat_b = _leaves(merged['params'])
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), atol=1e-6,
+            err_msg=k)
