@@ -89,29 +89,54 @@ class DeformConv3x3(nn.Module):
 
 
 def s2d_stem_conv(x, w):
-    """Exact space-to-depth rewrite of the 7x7/2 stem convolution.
+    """Exact width-packed rewrite of the 7x7/2 stem convolution.
 
     A stride-2 conv on 3-channel input runs the MXU at 3/128 contraction
-    utilization; regrouping 2x2 pixel phases into channels (12-channel 4x4/1
-    conv) is mathematically identical and ~4x denser. The weight transform is
-    applied at runtime from the original (7, 7, 3, 64) parameter, so torch
-    checkpoint conversion is unaffected.
+    utilization. Regrouping horizontal pixel pairs into channels (a 6-channel
+    8x4 conv at stride (2, 1)) is mathematically identical at the same
+    contraction density as full 2x2 space-to-depth, but the input regrouping
+    is a pure reshape — no 6-D transpose pass over the full-resolution image
+    (measured ~3 ms/batch8 cheaper on v5e than the transpose variant, kept
+    below for odd widths). The weight transform is applied at runtime from
+    the original (7, 7, 3, 64) parameter, so torch checkpoint conversion is
+    unaffected.
     """
     B, H, W, C = x.shape
+    if W % 2:
+        return _s2d_stem_transpose(x, w)
     O = w.shape[-1]
-    # pad kernel to 8x8 (leading zero row/col = the unused phase slot)
+    # pad kernel to 8x8 (leading zero row/col = the unused phase slot), then
+    # merge (kx-pair, pixel-parity, channel) -> 2C input channels per kx'
+    w_pad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    wd = w_pad.reshape(8, 4, 2 * C, O)
+    # pack width pairs into channels: (B, H, W/2, 2C) is a pure reshape
+    xr = x.reshape(B, H, W // 2, 2 * C)
+    # h pad 4/4 px (row -4 hits the kernel's zero row); w pad 2/2 packed
+    # units = 4/4 px
+    xr = jnp.pad(xr, ((0, 0), (4, 4), (2, 2), (0, 0)))
+    y = lax.conv_general_dilated(
+        xr, wd.astype(xr.dtype), (2, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y[:, :(H + 1) // 2, :W // 2]
+
+
+def _s2d_stem_transpose(x, w):
+    """Full 2x2 space-to-depth stem (12-channel 4x4/1 conv); handles odd
+    widths that the reshape-only packing cannot express."""
+    B, H, W, C = x.shape
+    O = w.shape[-1]
     w_pad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
     w2 = w_pad.reshape(4, 2, 4, 2, C, O)          # (k'y, py, k'x, px, c, o)
     w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, O)
     # pad input so sampling starts at an even offset (-4; row -4 has w=0)
-    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
-    Hp, Wp = H + 8, W + 8
+    xp = jnp.pad(x, ((0, 0), (4, 4 + H % 2), (4, 4 + W % 2), (0, 0)))
+    Hp, Wp = H + 8 + H % 2, W + 8 + W % 2
     x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
     x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C)
     y = lax.conv_general_dilated(
         x2, w2.astype(x2.dtype), (1, 1), 'VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    return y[:, :H // 2, :W // 2]
+    return y[:, :(H + 1) // 2, :(W + 1) // 2]
 
 
 class BasicBlock(nn.Module):
@@ -229,6 +254,14 @@ class ResNet(nn.Module):
     base_width: int = 4
     # exact space-to-depth stem (see s2d_stem_conv); same params either way
     s2d_stem: bool = True
+    # frozen-prefix gradient cut: stop_gradient after the last frozen stage
+    # (0 = stem only, n = stem + layer1..n, matching reference
+    # resnet.py:466-479 _freeze_stages). The optimizer mask
+    # (parallel/train.py:frozen_param_mask) already zeroes these params'
+    # updates; the cut additionally lets XLA skip the entire backward
+    # through the frozen prefix — identical training semantics, ~30 ms less
+    # backward work per full-size step.
+    frozen_stages: int = -1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -248,6 +281,8 @@ class ResNet(nn.Module):
         x = FrozenBatchNorm(dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
+        if self.frozen_stages == 0:
+            x = lax.stop_gradient(x)
 
         outs = []
         planes = 64
@@ -272,6 +307,8 @@ class ResNet(nn.Module):
                               dtype=self.dtype,
                               name=f'layer{stage + 1}/{i}', **kwargs)(x)
                 in_ch = planes * expansion
+            if stage + 1 == self.frozen_stages:
+                x = lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2
@@ -292,7 +329,8 @@ class ResNet(nn.Module):
                    nonlocal_stages=bcfg.nonlocal_stages,
                    gen_attention_stages=bcfg.gen_attention_stages,
                    style=bcfg.style, groups=bcfg.groups,
-                   base_width=bcfg.base_width, dtype=dtype, name=name)
+                   base_width=bcfg.base_width,
+                   frozen_stages=bcfg.frozen_stages, dtype=dtype, name=name)
 
 
 class ResNeXt(ResNet):
@@ -314,4 +352,5 @@ class ResNeXt(ResNet):
                    nonlocal_stages=bcfg.nonlocal_stages,
                    gen_attention_stages=bcfg.gen_attention_stages,
                    style=bcfg.style, groups=groups,
-                   base_width=bcfg.base_width, dtype=dtype, name=name)
+                   base_width=bcfg.base_width,
+                   frozen_stages=bcfg.frozen_stages, dtype=dtype, name=name)

@@ -186,3 +186,39 @@ def test_bwd_boundary_positions_match_xla():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
                                atol=1e-4)
+
+def _fused_xla(feat, pos, w):
+    cols = bilinear_gather(feat, pos)
+    return jnp.einsum('bpkc,kcf->bpf', cols, w,
+                      preferred_element_type=jnp.float32).astype(feat.dtype)
+
+
+def test_fused_conv_matches_xla():
+    """Fused gather+contract kernel == XLA gather + einsum."""
+    rng = np.random.RandomState(7)
+    B, H, W, C, K, F, P = 1, 5, 6, 128, 4, 128, 7
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
+    w = jnp.asarray((rng.randn(K, C, F) * 0.1).astype(np.float32))
+    got = pd._fused_impl(feat, pos, w)
+    want = _fused_xla(feat, pos, w)
+    assert got.shape == (B, P, F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fused_conv_gradients_match():
+    rng = np.random.RandomState(8)
+    B, H, W, C, K, F, P = 1, 4, 5, 128, 3, 128, 5
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0.2, 3.2, (B, P, K, 2)).astype(np.float32))
+    w = jnp.asarray((rng.randn(K, C, F) * 0.1).astype(np.float32))
+
+    def loss(fn):
+        return lambda f, p, ww: jnp.sum(fn(f, p, ww) ** 2)
+
+    gh = jax.grad(loss(pd.deform_conv_fused), argnums=(0, 1, 2))(feat, pos, w)
+    gx = jax.grad(loss(_fused_xla), argnums=(0, 1, 2))(feat, pos, w)
+    for a, b in zip(gh, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-3)

@@ -82,3 +82,58 @@ def test_predict_fn_shapes(trained_once):
     assert dets['det_bboxes'].shape == (B, M, 5)
     assert dets['det_kpts'].shape == (B, M, TINY_KPTS * 3)
     assert dets['valid'].shape == (B, M)
+
+
+def test_frozen_stage_gradient_cut():
+    """frozen_stages also cuts the backward (resnet.py stop_gradient):
+    grads below the cut are exactly zero at the loss level, and free-stage
+    grads are bit-identical to a no-cut build (the cut only removes dead
+    gradient paths — every path below it ends in a masked param)."""
+    from kgdet_tpu.models.resnet import ResNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+
+    def grads_of(frozen):
+        net = ResNet(depth=18, frozen_stages=frozen)
+        variables = net.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            outs = net.apply(
+                {'params': p, 'batch_stats': variables['batch_stats']}, x)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+        return jax.grad(loss)(variables['params'])
+
+    g_cut = grads_of(1)
+    g_ref = grads_of(-1)
+    frozen_keys = [k for k in g_cut
+                   if k in ('conv1', 'bn1') or k.startswith('layer1')]
+    free_keys = [k for k in g_cut if k not in frozen_keys]
+    assert frozen_keys and free_keys
+    for k in frozen_keys:
+        for leaf in jax.tree_util.tree_leaves(g_cut[k]):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+    for k in free_keys:
+        ref_leaves = jax.tree_util.tree_leaves(g_ref[k])
+        for leaf, ref in zip(jax.tree_util.tree_leaves(g_cut[k]), ref_leaves):
+            np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_stem_conv_odd_shapes_exact():
+    """The width-packed stem falls back exactly on odd H/W inputs."""
+    from jax import lax
+    from kgdet_tpu.models.resnet import s2d_stem_conv
+
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    for H, W in ((31, 47), (32, 47), (31, 48), (30, 46)):
+        x = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+        want = lax.conv_general_dilated(
+            x, w, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        got = s2d_stem_conv(x, w)
+        assert got.shape == want.shape, (H, W)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)

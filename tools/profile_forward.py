@@ -26,6 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _scalarize(tree):
+    """Reduce any output pytree to one scalar inside the jitted fn so
+    timed dispatch loops don't accumulate full-size outputs in HBM."""
+    return sum(jnp.sum(x.astype(jnp.float32))
+               for x in jax.tree_util.tree_leaves(tree))
+
+
 def timed(fn, feeds, iters):
     """Median-of-3 runs of (dispatch iters, block once) / iters."""
     outs = [fn(*f) for f in feeds[:2]]
@@ -73,16 +80,21 @@ def main():
             dt or dtype),) for _ in range(n_feeds)]
 
     backbone = ResNet.from_config(cfg.backbone, dtype=dtype, name='backbone')
-    bvars = {'params': {'backbone': params['backbone']},
-             'batch_stats': {'backbone': stats['backbone']}}
+    # root modules are applied without their detector-level name scope
+    bvars = {'params': params['backbone'],
+             'batch_stats': stats['backbone']}
 
     # --- backbone stages: capture intermediates to build stage inputs
     @jax.jit
-    def run_backbone(x):
+    def run_backbone_full(x):
         return backbone.apply(bvars, x)
 
+    @jax.jit
+    def run_backbone(x):
+        return _scalarize(backbone.apply(bvars, x))
+
     x0 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
-    c2, c3, c4, c5 = jax.block_until_ready(run_backbone(x0))
+    c2, c3, c4, c5 = jax.block_until_ready(run_backbone_full(x0))
 
     rows.append(('backbone_total',
                  timed(run_backbone, feeds_of((B, H, W, 3), jnp.float32),
@@ -99,7 +111,7 @@ def main():
 
         @jax.jit
         def run_bb(x, bb=bb):
-            return bb.apply(bvars, x)
+            return _scalarize(bb.apply(bvars, x))
 
         cum[n_stages] = timed(run_bb, feeds_of((B, H, W, 3), jnp.float32),
                               args.iters)
@@ -109,26 +121,30 @@ def main():
 
     # --- neck
     neck = FPN.from_config(cfg.neck, dtype=dtype, name='neck')
-    nvars = {'params': {'neck': params['neck']}}
+    nvars = {'params': params['neck']}
+
+    @jax.jit
+    def run_neck_full(a, b, c, d):
+        return neck.apply(nvars, (a, b, c, d))
 
     @jax.jit
     def run_neck(a, b, c, d):
-        return neck.apply(nvars, (a, b, c, d))
+        return _scalarize(neck.apply(nvars, (a, b, c, d)))
 
     neck_feeds = [tuple(
         jnp.asarray(rng.randn(*f.shape).astype(np.float32)).astype(dtype)
         for f in (c2, c3, c4, c5)) for _ in range(n_feeds)]
     rows.append(('fpn_neck', timed(run_neck, neck_feeds, args.iters)))
-    (p5,) = jax.block_until_ready(run_neck(*neck_feeds[0]))
+    (p5,) = jax.block_until_ready(run_neck_full(*neck_feeds[0]))
 
     # --- head: total, then towers / S1 / S2+S3 via column_taps ablations
     from kgdet_tpu.models.families import get_head_family
     head = get_head_family(cfg.head.type).build(cfg, dtype)
-    hvars = {'params': {'head': params['head']}}
+    hvars = {'params': params['head']}
 
     @jax.jit
     def run_head(x):
-        return head.apply(hvars, [x])
+        return _scalarize(head.apply(hvars, [x]))
 
     head_feeds = feeds_of(p5.shape)
     rows.append(('head_total', timed(run_head, head_feeds, args.iters)))
@@ -158,7 +174,7 @@ def main():
 
     @jax.jit
     def run_towers(x):
-        return towers.apply({'params': tparams}, x)
+        return _scalarize(towers.apply({'params': tparams}, x))
 
     rows.append(('head_towers', timed(run_towers, head_feeds, args.iters)))
 
@@ -171,7 +187,7 @@ def main():
 
     @jax.jit
     def run_fwd(feed):
-        return model.apply(variables, feed['image'])
+        return _scalarize(model.apply(variables, feed['image']))
 
     t_fwd = timed(lambda f: run_fwd(f), pfeeds, args.iters)
     t_pred = timed(lambda f: predict(variables, f), pfeeds, args.iters)
