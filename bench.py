@@ -116,6 +116,33 @@ def kernel_check():
                     cls_f, pts_f, pos))):
         results[f'split.{an}'] = rel_err(av, bv)
 
+    # fused gather+contract kernel (v3): compiled fwd + all three grads vs
+    # the XLA gather+einsum reference on the cascade 9-tap column, both
+    # sides forced to true-f32 matmuls (default TPU precision is one-pass
+    # bf16 with side-dependent accumulation order; 'highest' makes 1e-3 a
+    # real gate, and only the 9-tap f32 multi-pass fits scoped VMEM —
+    # production runs bf16, where one-pass is exact for the inputs)
+    w9 = jnp.asarray((rng.randn(9, C, C) * 0.05).astype(np.float32))
+    pos9 = pos[:, :, :9]
+
+    def floss(fn):
+        return lambda f, p, w: jnp.sum(fn(f, p, w) ** 2)
+
+    def fused_xla(f, p, w):
+        from kgdet_tpu.ops.deform import bilinear_gather
+        return jnp.einsum('bpkc,kcf->bpf', bilinear_gather(f, p), w,
+                          preferred_element_type=jnp.float32)
+
+    with jax.default_matmul_precision('highest'):
+        fv = jax.grad(floss(pd.deform_conv_fused), argnums=(0, 1, 2))(
+            cls_f, pos9, w9)
+        xv = jax.grad(floss(fused_xla), argnums=(0, 1, 2))(cls_f, pos9, w9)
+        of = pd.deform_conv_fused(cls_f, pos9, w9)
+        ox = fused_xla(cls_f, pos9, w9)
+    results['fused.fwd'] = rel_err(of, ox)
+    for n, a, b in zip(('grad_feat', 'grad_pos', 'grad_w'), fv, xv):
+        results[f'fused.{n}'] = rel_err(a, b)
+
     ok = all(v < tols.get(k, 1e-3) for k, v in results.items())
     print(json.dumps({
         'metric': 'pallas_kernel_check',
@@ -293,7 +320,9 @@ if __name__ == '__main__':
         serial_bench()
         sys.exit(0 if ok else 1)
     if '--train' in sys.argv:
-        train_bench()
+        b = int(sys.argv[sys.argv.index('--batch') + 1]) \
+            if '--batch' in sys.argv else 8
+        train_bench(batch=b)
     elif '--serial' in sys.argv:
         serial_bench()
     else:

@@ -100,21 +100,39 @@ class KpRepBlock(nn.Module):
         }
         from kgdet_tpu.ops.deform import absolute_positions, \
             use_pallas_sampling
+        from kgdet_tpu.ops.pallas_deform import use_fused_deform
         pos = absolute_positions(offs, H, W)
-        if use_pallas_sampling((H, W, 2 * C), cls_feat.dtype.itemsize,
-                               allow_tiling=False) \
-                and C % 128 == 0:
-            from kgdet_tpu.ops.pallas_deform import deform_sample_split
-            cols = deform_sample_split(cls_feat, pts_feat, pos, taps)
+        if use_fused_deform(H * W, C, max(taps), F,
+                            cls_feat.dtype.itemsize):
+            # fused gather+contract: one kernel per (column, branch);
+            # the sampled columns never materialize in HBM
+            from kgdet_tpu.ops.pallas_deform import deform_conv_fused
+            cls_parts, kpt_parts = [], []
+            lo = 0
+            for ci, t in enumerate(taps):
+                pcol = pos[:, :, lo:lo + t]
+                lo += t
+                cls_parts.append(nn.relu(deform_conv_fused(
+                    cls_feat, pcol, weights['cls'][ci])))
+                kpt_parts.append(nn.relu(deform_conv_fused(
+                    pts_feat, pcol, weights['keypts'][ci])))
+            cls_cat = jnp.concatenate(cls_parts, axis=-1)  # (B, P, 3F)
+            kpt_cat = jnp.concatenate(kpt_parts, axis=-1)
         else:
-            from kgdet_tpu.ops.pallas_deform import _split_xla
-            cols = _split_xla(cls_feat, pts_feat, pos, taps)
-        cls_cat = jnp.concatenate([
-            nn.relu(deform_conv_from_samples(c, weights['cls'][i]))
-            for i, (c, _) in enumerate(cols)], axis=-1)   # (B, P, 3F)
-        kpt_cat = jnp.concatenate([
-            nn.relu(deform_conv_from_samples(p, weights['keypts'][i]))
-            for i, (_, p) in enumerate(cols)], axis=-1)
+            if use_pallas_sampling((H, W, 2 * C), cls_feat.dtype.itemsize,
+                                   allow_tiling=False) \
+                    and C % 128 == 0:
+                from kgdet_tpu.ops.pallas_deform import deform_sample_split
+                cols = deform_sample_split(cls_feat, pts_feat, pos, taps)
+            else:
+                from kgdet_tpu.ops.pallas_deform import _split_xla
+                cols = _split_xla(cls_feat, pts_feat, pos, taps)
+            cls_cat = jnp.concatenate([
+                nn.relu(deform_conv_from_samples(c, weights['cls'][i]))
+                for i, (c, _) in enumerate(cols)], axis=-1)
+            kpt_cat = jnp.concatenate([
+                nn.relu(deform_conv_from_samples(p, weights['keypts'][i]))
+                for i, (_, p) in enumerate(cols)], axis=-1)
         cls_out = dense(self.cls_out_channels, 'cls_out',
                         bias_init_with_prob(0.01))(cls_cat)
         keypts_out = dense(kpt_dim, 'keypts_out')(kpt_cat)

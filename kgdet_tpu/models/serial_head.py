@@ -142,21 +142,50 @@ class SerialKpHead(nn.Module):
 
             offs = grad_multiply(rep_init, self.gradient_mul)
             offs = offs.reshape(B, H, W, self.num_reppts, 2)
-            cat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
-            samples = deform_sample(cat, offs)       # (B, P, 9, 2C)
-            cls_col = nn.relu(deform_conv_from_samples(
-                samples[..., :C], w_cls.astype(self.dtype)))
+            from kgdet_tpu.ops.deform import absolute_positions
+            from kgdet_tpu.ops.pallas_deform import use_fused_deform
+            n_pts_br = int(with_kp) + int(own_rep_branch)
+            if use_fused_deform(H * W, C, self.num_reppts,
+                                F * max(n_pts_br, 1),
+                                cls_feat.dtype.itemsize):
+                # fused gather+contract per branch; the two pts-feature
+                # branches (kpt/rep) share one call via weight concat, so
+                # total gather traffic matches the shared-sample path while
+                # the 9-tap columns never touch HBM
+                from kgdet_tpu.ops.pallas_deform import deform_conv_fused
+                pos = absolute_positions(offs, H, W)
+                cls_col = nn.relu(deform_conv_fused(
+                    cls_feat, pos, w_cls.astype(self.dtype)))
+                kpt_col = rep_col = None
+                if n_pts_br:
+                    w_parts = ([w_kpt] if with_kp else []) \
+                        + ([w_rep] if own_rep_branch else [])
+                    w_cat = jnp.concatenate(
+                        [w.astype(self.dtype) for w in w_parts], axis=-1)
+                    pts_col = nn.relu(deform_conv_fused(
+                        pts_feat, pos, w_cat))
+                    if with_kp:
+                        kpt_col = pts_col[..., :F]
+                    if own_rep_branch:
+                        rep_col = pts_col[..., F if with_kp else 0:]
+            else:
+                cat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
+                samples = deform_sample(cat, offs)   # (B, P, 9, 2C)
+                cls_col = nn.relu(deform_conv_from_samples(
+                    samples[..., :C], w_cls.astype(self.dtype)))
+                kpt_col = nn.relu(deform_conv_from_samples(
+                    samples[..., C:], w_kpt.astype(self.dtype))) \
+                    if with_kp else None
+                rep_col = nn.relu(deform_conv_from_samples(
+                    samples[..., C:], w_rep.astype(self.dtype))) \
+                    if own_rep_branch else None
 
             cls_out = unflat(cls_refine_out(cls_col))
             if with_kp:
-                kpt_col = nn.relu(deform_conv_from_samples(
-                    samples[..., C:], w_kpt.astype(self.dtype)))
                 kpt_ref_raw = unflat(keypts_refine_out(kpt_col))
             else:
                 kpt_ref_raw = jnp.zeros((B, H, W, kpt_dim), self.dtype)
             if own_rep_branch:
-                rep_col = nn.relu(deform_conv_from_samples(
-                    samples[..., C:], w_rep.astype(self.dtype)))
                 rep_ref_raw = unflat(reppts_refine_out(rep_col))
             else:
                 rep_ref_raw = unflat(reppts_refine_out(

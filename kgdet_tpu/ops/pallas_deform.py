@@ -332,34 +332,54 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
 
 
 def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
-                  *, K, C):
-    def body(p, _):
+                  *, K, S):
+    """Gather K taps x C channels for TPF pixels into a VMEM scratch, then
+    contract on the MXU. The scratch is (S, TPF, K*LANE) with (TPF, K*LANE)
+    the tiled dims, so pixels are walked in sublane-aligned groups of 8:
+    each tap's 8 per-pixel (LANE,) values are stacked in registers and
+    stored as one (8, LANE) tile at ds(pg*8, 8) (Mosaic implements dynamic
+    stores only at aligned sublane offsets). The contraction is S
+    accumulated (TPF, K*LANE) @ (K*LANE, F) dots — weight pre-permuted to
+    (S, K*LANE, F) so slice s contracts lane-slice s of every tap."""
+    def body(pg, _):
+        base = pg * 8
         for k in range(K):
-            r0 = starts_ref[0, 0, p, 2 * k]
-            r1 = starts_ref[0, 0, p, 2 * k + 1]
-            w00 = w_ref[0, 0, p, 4 * k]
-            w01 = w_ref[0, 0, p, 4 * k + 1]
-            w10 = w_ref[0, 0, p, 4 * k + 2]
-            w11 = w_ref[0, 0, p, 4 * k + 3]
-            top = feat_ref[0, pl.ds(r0, 2), :]   # (2, C)
-            bot = feat_ref[0, pl.ds(r1, 2), :]
-            val = (top[0].astype(jnp.float32) * w00
-                   + top[1].astype(jnp.float32) * w01
-                   + bot[0].astype(jnp.float32) * w10
-                   + bot[1].astype(jnp.float32) * w11)
-            scratch_ref[p, pl.ds(k * C, C)] = val.astype(scratch_ref.dtype)
+            rows = []
+            for pr in range(8):
+                p = base + pr
+                r0 = starts_ref[0, 0, p, 2 * k]
+                r1 = starts_ref[0, 0, p, 2 * k + 1]
+                w00 = w_ref[0, 0, p, 4 * k]
+                w01 = w_ref[0, 0, p, 4 * k + 1]
+                w10 = w_ref[0, 0, p, 4 * k + 2]
+                w11 = w_ref[0, 0, p, 4 * k + 3]
+                top = feat_ref[0, pl.ds(r0, 2)]  # (2, S, LANE)
+                bot = feat_ref[0, pl.ds(r1, 2)]
+                val = (top[0].astype(jnp.float32) * w00
+                       + top[1].astype(jnp.float32) * w01
+                       + bot[0].astype(jnp.float32) * w10
+                       + bot[1].astype(jnp.float32) * w11)
+                rows.append(val.astype(scratch_ref.dtype))
+            tile = jnp.stack(rows)               # (8, S, LANE)
+            for s in range(S):
+                scratch_ref[s, pl.ds(base, 8), pl.ds(k * LANE, LANE)] = \
+                    tile[:, s, :]
         return 0
 
-    lax.fori_loop(0, TPF, body, 0)
-    out_ref[0] = jnp.dot(
-        scratch_ref[...], wt_ref[...],
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    lax.fori_loop(0, TPF // 8, body, 0)
+    acc = jnp.dot(scratch_ref[0], wt_ref[0],
+                  preferred_element_type=jnp.float32)
+    for s in range(1, S):
+        acc += jnp.dot(scratch_ref[s], wt_ref[s],
+                       preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _fused_impl(feat, pos_yx, weight):
     B, H, W, C = feat.shape
     _, P, K, _ = pos_yx.shape
     F = weight.shape[-1]
+    S = C // LANE
     starts, w4 = _prep_indices(pos_yx, H, W)
     P_pad = -(-P // TPF) * TPF
     if P_pad != P:
@@ -369,50 +389,66 @@ def _fused_impl(feat, pos_yx, weight):
     n_pt = P_pad // TPF
     starts = starts.reshape(B, n_pt, TPF, K * 2)
     w4 = w4.reshape(B, n_pt, TPF, K * 4)
-    feat_r = feat.reshape(B, H * W, C)
-    wt = weight.reshape(K * C, F).astype(feat.dtype)
+    feat_r = feat.reshape(B, H * W, S, LANE)
+    # (K, C, F) -> (S, K*LANE, F): lane-slice-major contraction layout
+    wt = weight.reshape(K, S, LANE, F).transpose(1, 0, 2, 3) \
+        .reshape(S, K * LANE, F).astype(feat.dtype)
 
-    out = pl.pallas_call(
-        functools.partial(_fused_kernel, K=K, C=C),
-        out_shape=jax.ShapeDtypeStruct((B, P_pad, F), feat.dtype),
-        grid=(B, n_pt),
-        in_specs=[
-            pl.BlockSpec((1, 1, TPF, K * 2), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TPF, K * 4), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H * W, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K * C, F), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TPF, F), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TPF, K * C), feat.dtype)],
-    )(starts, w4, feat_r, wt)
+    # one call per batch element, batch index closed over in the index
+    # maps: a feature slab whose block index varies along a grid dim gets
+    # double-buffered by Mosaic (2x 8.25M at serial stride-8 blows the
+    # 16M scoped-VMEM limit); an invariant block stays single-buffered
+    outs = []
+    for b in range(B):
+        outs.append(pl.pallas_call(
+            functools.partial(_fused_kernel, K=K, S=S),
+            out_shape=jax.ShapeDtypeStruct((1, P_pad, F), feat.dtype),
+            grid=(n_pt,),
+            in_specs=[
+                pl.BlockSpec((1, 1, TPF, K * 2),
+                             lambda t, b=b: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, TPF, K * 4),
+                             lambda t, b=b: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, H * W, S, LANE),
+                             lambda t, b=b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, K * LANE, F), lambda t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TPF, F), lambda t: (0, t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((S, TPF, K * LANE), feat.dtype)],
+        )(starts, w4, feat_r, wt))
+    out = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
     return out[:, :P] if P_pad != P else out
 
 
 @jax.custom_vjp
 def deform_conv_fused(feat, pos_yx, weight):
     """Fused deformable gather+contract: (B,H,W,C), (B,P,K,2), (K,C,F)
-    -> (B,P,F), columns kept in VMEM. Backward reuses the fused Pallas
-    gradient kernel for feat/pos and re-gathers (Pallas) for the weight
-    grad — residuals are just (feat, pos, weight), never the columns."""
+    -> (B,P,F). On the non-differentiated (inference) path the columns
+    never leave VMEM. Under differentiation the custom_vjp forward rule
+    runs instead: it gathers the columns once with the sampling kernel and
+    keeps them as residuals, so the backward needs no re-gather — training
+    pays exactly the split-path cost while inference gets the fusion."""
     return _fused_impl(feat, pos_yx, weight)
 
 
 def _fused_fwd(feat, pos_yx, weight):
-    return _fused_impl(feat, pos_yx, weight), (feat, pos_yx, weight)
+    samples = deform_sample_pallas(feat, pos_yx)      # (B, P, K, C)
+    out = jnp.einsum('bpkc,kcf->bpf', samples, weight.astype(feat.dtype),
+                     preferred_element_type=jnp.float32).astype(feat.dtype)
+    return out, (samples, feat, pos_yx, weight)
 
 
 def _fused_bwd(res, g):
-    feat, pos_yx, weight = res
+    samples, feat, pos_yx, weight = res
     gf = g.astype(jnp.float32)
     g_cols = jnp.einsum('bpf,kcf->bpkc', gf,
                         weight.astype(jnp.float32)).astype(feat.dtype)
     grad_feat, grad_pos = _deform_bwd_pallas(feat, pos_yx, g_cols)
-    samples = deform_sample_pallas(feat, pos_yx)
     g_w = jnp.einsum('bpkc,bpf->kcf', samples, g,
                      preferred_element_type=jnp.float32)
     return grad_feat, grad_pos, g_w.astype(weight.dtype)
