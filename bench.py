@@ -143,6 +143,53 @@ def kernel_check():
     for n, a, b in zip(('grad_feat', 'grad_pos', 'grad_w'), fv, xv):
         results[f'fused.{n}'] = rel_err(a, b)
 
+    # dual path (v4): fused per-column primal + split-kernel vjp behind one
+    # custom_vjp, on a reduced tap layout (the f32 per-column fused calls at
+    # 25/49 taps exceed scoped VMEM; bf16 production shapes are exercised by
+    # bench --train). Checks primal AND all five gradients vs XLA.
+    dtaps = (4, 9)
+    Kd = sum(dtaps)
+    posd = pos[:, :, :Kd]
+    w_cls = tuple(jnp.asarray((rng.randn(t, C, C) * 0.05).astype(np.float32))
+                  for t in dtaps)
+    w_pts = tuple(jnp.asarray((rng.randn(t, C, C) * 0.05).astype(np.float32))
+                  for t in dtaps)
+
+    def dual_xla(cf, pf, po, wc, wp):
+        cols = pd._split_xla(cf, pf, po, dtaps)
+        a = jnp.concatenate([
+            jnp.einsum('bpkc,kcf->bpf', c, wc[i],
+                       preferred_element_type=jnp.float32)
+            for i, (c, _) in enumerate(cols)], axis=-1)
+        b = jnp.concatenate([
+            jnp.einsum('bpkc,kcf->bpf', p, wp[i],
+                       preferred_element_type=jnp.float32)
+            for i, (_, p) in enumerate(cols)], axis=-1)
+        return a, b
+
+    def dloss(fn):
+        def f(cf, pf, po, wc, wp):
+            a, b = fn(cf, pf, po, wc, wp)
+            return jnp.sum(a ** 2) + jnp.sum(b ** 3)
+        return f
+
+    def dual_ours(cf, pf, po, wc, wp):
+        return pd.deform_columns_dual(cf, pf, po, wc, wp, dtaps)
+
+    with jax.default_matmul_precision('highest'):
+        do = dual_ours(cls_f, pts_f, posd, w_cls, w_pts)
+        dx = dual_xla(cls_f, pts_f, posd, w_cls, w_pts)
+        dv = jax.grad(dloss(dual_ours), argnums=(0, 1, 2, 3, 4))(
+            cls_f, pts_f, posd, w_cls, w_pts)
+        xv2 = jax.grad(dloss(dual_xla), argnums=(0, 1, 2, 3, 4))(
+            cls_f, pts_f, posd, w_cls, w_pts)
+    results['dual.fwd'] = max(rel_err(do[0], dx[0]), rel_err(do[1], dx[1]))
+    for n, a, b in zip(('grad_cls', 'grad_pts', 'grad_pos', 'grad_wc',
+                        'grad_wp'), dv, xv2):
+        results[f'dual.{n}'] = max(
+            rel_err(x, y) for x, y in zip(jax.tree.leaves(a),
+                                          jax.tree.leaves(b)))
+
     ok = all(v < tols.get(k, 1e-3) for k, v in results.items())
     print(json.dumps({
         'metric': 'pallas_kernel_check',

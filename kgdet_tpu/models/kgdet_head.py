@@ -104,20 +104,20 @@ class KpRepBlock(nn.Module):
         pos = absolute_positions(offs, H, W)
         if use_fused_deform(H * W, C, max(taps), F,
                             cls_feat.dtype.itemsize):
-            # fused gather+contract: one kernel per (column, branch);
-            # the sampled columns never materialize in HBM
-            from kgdet_tpu.ops.pallas_deform import deform_conv_fused
-            cls_parts, kpt_parts = [], []
-            lo = 0
-            for ci, t in enumerate(taps):
-                pcol = pos[:, :, lo:lo + t]
-                lo += t
-                cls_parts.append(nn.relu(deform_conv_fused(
-                    cls_feat, pcol, weights['cls'][ci])))
-                kpt_parts.append(nn.relu(deform_conv_fused(
-                    pts_feat, pcol, weights['keypts'][ci])))
-            cls_cat = jnp.concatenate(cls_parts, axis=-1)  # (B, P, 3F)
-            kpt_cat = jnp.concatenate(kpt_parts, axis=-1)
+            # dual path: inference runs one fused gather+MXU kernel per
+            # (column, branch) with the columns never touching HBM; under
+            # differentiation the custom_vjp forward rule gathers all taps
+            # once with the shared split kernel and the backward runs ONE
+            # fused gradient kernel over the cls|pts concat
+            from kgdet_tpu.ops.pallas_deform import deform_columns_dual
+            dt = cls_feat.dtype
+            cls_cat, kpt_cat = deform_columns_dual(
+                cls_feat, pts_feat, pos,
+                tuple(w.astype(dt) for w in weights['cls']),
+                tuple(w.astype(dt) for w in weights['keypts']),
+                tuple(taps))
+            cls_cat = nn.relu(cls_cat)                 # (B, P, 3F)
+            kpt_cat = nn.relu(kpt_cat)
         else:
             if use_pallas_sampling((H, W, 2 * C), cls_feat.dtype.itemsize,
                                    allow_tiling=False) \

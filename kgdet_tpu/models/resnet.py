@@ -32,10 +32,13 @@ ARCH_SETTINGS = {
 }
 
 
-def _conv(features, k, s=1, name=None, groups=1):
+def _conv(features, k, s=1, name=None, groups=1, dtype=jnp.float32):
+    # dtype matters: without it flax promotes bf16 activations to the f32
+    # param dtype, so every trunk conv reads a converted f32 copy of its
+    # input (2x HBM traffic on the heaviest convs in the model)
     return nn.Conv(features, (k, k), strides=(s, s), padding=[(k // 2,) * 2] * 2,
                    use_bias=False, kernel_init=he_normal_init(),
-                   feature_group_count=groups, name=name)
+                   feature_group_count=groups, dtype=dtype, name=name)
 
 
 class DeformConv3x3(nn.Module):
@@ -148,13 +151,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(self.planes, 3, self.stride, 'conv1')(x)
+        out = _conv(self.planes, 3, self.stride, 'conv1',
+                    dtype=self.dtype)(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, 'conv2')(out)
+        out = _conv(self.planes, 3, 1, 'conv2', dtype=self.dtype)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         if self.downsample:
-            identity = _conv(self.planes, 1, self.stride, 'downsample_conv')(x)
+            identity = _conv(self.planes, 1, self.stride, 'downsample_conv',
+                             dtype=self.dtype)(x)
             identity = FrozenBatchNorm(
                 dtype=self.dtype, name='downsample_bn')(identity)
         return nn.relu(out + identity)
@@ -197,28 +202,30 @@ class Bottleneck(nn.Module):
             width = int(self.planes * (self.base_width / 64)) * self.groups
         c1s = self.stride if self.style == 'caffe' else 1
         c2s = 1 if self.style == 'caffe' else self.stride
-        out = _conv(width, 1, c1s, 'conv1')(x)
+        out = _conv(width, 1, c1s, 'conv1', dtype=self.dtype)(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
         if self.use_dcn:
             out = DeformConv3x3(width, stride=c2s, groups=self.groups,
                                 dtype=self.dtype, name='conv2')(out)
         else:
-            out = _conv(width, 3, c2s, 'conv2', groups=self.groups)(out)
+            out = _conv(width, 3, c2s, 'conv2', groups=self.groups,
+                        dtype=self.dtype)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
         if self.plugin == 'gen_attention':
             from kgdet_tpu.models.plugins import GeneralizedAttention
             out = GeneralizedAttention(
                 dtype=self.dtype, name='gen_attention_block')(out)
-        out = _conv(self.planes * self.expansion, 1, 1, 'conv3')(out)
+        out = _conv(self.planes * self.expansion, 1, 1, 'conv3',
+                    dtype=self.dtype)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn3')(out)
         if self.plugin == 'gcb':
             from kgdet_tpu.models.plugins import ContextBlock
             out = ContextBlock(dtype=self.dtype, name='context_block')(out)
         if self.downsample:
             identity = _conv(self.planes * self.expansion, 1, self.stride,
-                             'downsample_conv')(x)
+                             'downsample_conv', dtype=self.dtype)(x)
             identity = FrozenBatchNorm(
                 dtype=self.dtype, name='downsample_bn')(identity)
         out = nn.relu(out + identity)
@@ -277,7 +284,8 @@ class ResNet(nn.Module):
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,
-                        kernel_init=he_normal_init(), name='conv1')(x)
+                        kernel_init=he_normal_init(), dtype=self.dtype,
+                        name='conv1')(x)
         x = FrozenBatchNorm(dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)

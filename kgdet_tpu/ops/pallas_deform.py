@@ -315,7 +315,8 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
                      platform=None):
     """Fused-kernel gate: feature slab + weight + gather scratch resident."""
     import os
-    if os.environ.get('KGDET_DISABLE_PALLAS'):
+    if os.environ.get('KGDET_DISABLE_PALLAS') \
+            or os.environ.get('KGDET_DISABLE_FUSED'):
         return False
     if C % LANE or F % LANE:
         return False
@@ -457,6 +458,105 @@ def _fused_bwd(res, g):
 deform_conv_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# v4: block-level dual path — the whole multi-column, two-branch cascade
+# contraction behind one custom_vjp. Inference (non-differentiated) runs the
+# fused gather+MXU kernels per (column, branch) with columns never touching
+# HBM; under differentiation the forward rule instead gathers ALL taps once
+# with the shared split kernel (83 taps over the cls|pts concat — half the
+# tap walks of six per-column gathers, at twice the vreg occupancy) and the
+# backward reassembles one cotangent and runs ONE fused backward kernel.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def deform_columns_dual(cls_feat, pts_feat, pos_yx, w_cls, w_pts, taps):
+    """cls_feat/pts_feat: (B, H, W, C); pos_yx: (B, P, K, 2), K == sum(taps);
+    w_cls/w_pts: tuples of (t, C, F) per column. Returns (cls_cat, kpt_cat)
+    each (B, P, len(taps)*F), pre-activation, column-major."""
+    outs = {'cls': [], 'pts': []}
+    lo = 0
+    for ci, t in enumerate(taps):
+        pcol = pos_yx[:, :, lo:lo + t]
+        lo += t
+        outs['cls'].append(_fused_impl(cls_feat, pcol, w_cls[ci]))
+        outs['pts'].append(_fused_impl(pts_feat, pcol, w_pts[ci]))
+    return (jnp.concatenate(outs['cls'], axis=-1),
+            jnp.concatenate(outs['pts'], axis=-1))
+
+
+def _columns_dual_fwd(cls_feat, pts_feat, pos_yx, w_cls, w_pts, taps):
+    H, W, C = cls_feat.shape[1:]
+    if use_pallas_split(H, W, C, cls_feat.dtype.itemsize):
+        cols = deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps)
+    else:
+        cols = _split_xla(cls_feat, pts_feat, pos_yx, taps)
+    dt = cls_feat.dtype
+    cls_cat = jnp.concatenate([
+        jnp.einsum('bpkc,kcf->bpf', c, w_cls[i].astype(dt),
+                   preferred_element_type=jnp.float32).astype(dt)
+        for i, (c, _) in enumerate(cols)], axis=-1)
+    kpt_cat = jnp.concatenate([
+        jnp.einsum('bpkc,kcf->bpf', p, w_pts[i].astype(dt),
+                   preferred_element_type=jnp.float32).astype(dt)
+        for i, (_, p) in enumerate(cols)], axis=-1)
+    return (cls_cat, kpt_cat), (cols, cls_feat, pts_feat, pos_yx,
+                                w_cls, w_pts)
+
+
+def _columns_dual_bwd(taps, res, g):
+    cols, cls_feat, pts_feat, pos_yx, w_cls, w_pts = res
+    g_cls, g_pts = g
+    C = cls_feat.shape[-1]
+    F = w_cls[0].shape[-1]
+    gw_cls, gw_pts, g_full = [], [], []
+    for ci, t in enumerate(taps):
+        gc = g_cls[..., ci * F:(ci + 1) * F].astype(jnp.float32)
+        gp = g_pts[..., ci * F:(ci + 1) * F].astype(jnp.float32)
+        col_c, col_p = cols[ci]
+        gw_cls.append(jnp.einsum('bpkc,bpf->kcf', col_c, gc,
+                                 preferred_element_type=jnp.float32)
+                      .astype(w_cls[ci].dtype))
+        gw_pts.append(jnp.einsum('bpkc,bpf->kcf', col_p, gp,
+                                 preferred_element_type=jnp.float32)
+                      .astype(w_pts[ci].dtype))
+        gcol_c = jnp.einsum('bpf,kcf->bpkc', gc,
+                            w_cls[ci].astype(jnp.float32))
+        gcol_p = jnp.einsum('bpf,kcf->bpkc', gp,
+                            w_pts[ci].astype(jnp.float32))
+        g_full.append(jnp.concatenate([gcol_c, gcol_p], axis=-1)
+                      .astype(cls_feat.dtype))
+    g_all = jnp.concatenate(g_full, axis=2)          # (B, P, K, 2C)
+    cat = jnp.concatenate([cls_feat, pts_feat], axis=-1)
+    H, W, C2 = cat.shape[1:]
+    if use_pallas_split(H, W, C, cls_feat.dtype.itemsize):
+        grad_cat, grad_pos = _deform_bwd_pallas(cat, pos_yx, g_all)
+    else:
+        from kgdet_tpu.ops.deform import bilinear_gather
+        _, vjp = jax.vjp(bilinear_gather, cat, pos_yx)
+        grad_cat, grad_pos = vjp(g_all)
+    return (grad_cat[..., :C], grad_cat[..., C:], grad_pos,
+            tuple(gw_cls), tuple(gw_pts))
+
+
+deform_columns_dual.defvjp(_columns_dual_fwd, _columns_dual_bwd)
+
+
+def use_pallas_split(H, W, C, itemsize):
+    """Gate for the shared split gather over the cls|pts concat."""
+    import os
+    if os.environ.get('KGDET_DISABLE_PALLAS'):
+        return False
+    if C % LANE:
+        return False
+    S = 2 * C // LANE
+    st = slice_tiles(H * W, S, itemsize)
+    if st is None or st != S:
+        return False
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:
+        return False
+
+
 def _prep_indices_bwd(pos_yx, H, W):
     """Row starts + per-axis weights and coordinate derivatives.
 
@@ -554,6 +654,82 @@ def _bwd_kernel(starts_ref, wd_ref, g_ref, feat_ref, gfeat_ref, gpos_ref,
     lax.fori_loop(0, TP, body, 0)
 
 
+def _bwd_kernel_v2(starts_ref, wd_ref, g_ref, feat_ref, gfeat_ref, gpos_ref,
+                   scratch_ref, *, K, st):
+    """Backward step with MXU-free but *batched* position-grad reduction.
+
+    The v1 kernel reduced g*dpos to a scalar per (pixel, tap) — two
+    128-lane cross-lane reductions plus two scalar SMEM stores per tap,
+    which dominated the inner loop. Here the per-tap product vectors are
+    staged into a VMEM scratch laid out (2*st, TP, K*LANE) in sublane-
+    aligned 8-pixel groups (the _fused_kernel store trick), and ONE
+    batched reduction at the end of the grid step collapses them to
+    (2, TP, K): the lane-dim reduce is lowered once over full vregs
+    instead of per tap. The feature-gradient scatter (read-modify-write
+    into the VMEM-resident slab) is unchanged.
+    """
+    pt = pl.program_id(1)
+
+    @pl.when(pt == 0)
+    def _():
+        gfeat_ref[...] = jnp.zeros(gfeat_ref.shape, gfeat_ref.dtype)
+
+    def body(pg, _):
+        base = pg * 8
+        for k in range(K):
+            prods_y, prods_x = [], []
+            for pr in range(8):
+                p = base + pr
+                r0 = starts_ref[0, 0, p, 2 * k]
+                r1 = starts_ref[0, 0, p, 2 * k + 1]
+                wy0 = wd_ref[0, 0, p, 8 * k + 0]
+                wy1 = wd_ref[0, 0, p, 8 * k + 1]
+                wx0 = wd_ref[0, 0, p, 8 * k + 2]
+                wx1 = wd_ref[0, 0, p, 8 * k + 3]
+                dy0 = wd_ref[0, 0, p, 8 * k + 4]
+                dy1 = wd_ref[0, 0, p, 8 * k + 5]
+                dx0 = wd_ref[0, 0, p, 8 * k + 6]
+                dx1 = wd_ref[0, 0, p, 8 * k + 7]
+                g = g_ref[0, p, k].astype(jnp.float32)   # (st, LANE)
+                top = feat_ref[0, pl.ds(r0, 2)]
+                bot = feat_ref[0, pl.ds(r1, 2)]
+                t0 = top[0].astype(jnp.float32)
+                t1 = top[1].astype(jnp.float32)
+                b0 = bot[0].astype(jnp.float32)
+                b1 = bot[1].astype(jnp.float32)
+                gt = gfeat_ref[0, pl.ds(r0, 2)]
+                gfeat_ref[0, pl.ds(r0, 2)] = gt + jnp.stack(
+                    [g * (wy0 * wx0), g * (wy0 * wx1)])
+                gb = gfeat_ref[0, pl.ds(r1, 2)]
+                gfeat_ref[0, pl.ds(r1, 2)] = gb + jnp.stack(
+                    [g * (wy1 * wx0), g * (wy1 * wx1)])
+                gy_vec = dy0 * (wx0 * t0 + wx1 * t1) \
+                    + dy1 * (wx0 * b0 + wx1 * b1)
+                gx_vec = wy0 * (dx0 * t0 + dx1 * t1) \
+                    + wy1 * (dx0 * b0 + dx1 * b1)
+                prods_y.append(g * gy_vec)
+                prods_x.append(g * gx_vec)
+            ty = jnp.stack(prods_y)                      # (8, st, LANE)
+            tx = jnp.stack(prods_x)
+            for s in range(st):
+                scratch_ref[s, pl.ds(base, 8),
+                            pl.ds(k * LANE, LANE)] = ty[:, s, :]
+                scratch_ref[st + s, pl.ds(base, 8),
+                            pl.ds(k * LANE, LANE)] = tx[:, s, :]
+        return 0
+
+    lax.fori_loop(0, TP // 8, body, 0)
+    accy = scratch_ref[0]                                # (TP, K*LANE)
+    accx = scratch_ref[st]
+    for s in range(1, st):
+        accy = accy + scratch_ref[s]
+        accx = accx + scratch_ref[st + s]
+    gy = accy.reshape(TP, K, LANE).sum(axis=-1)          # (TP, K)
+    gx = accx.reshape(TP, K, LANE).sum(axis=-1)
+    gpos_ref[0, 0, 0] = gy
+    gpos_ref[0, 0, 1] = gx
+
+
 def _deform_bwd_pallas(feat, pos_yx, g):
     """Pallas backward of bilinear sampling at absolute positions.
 
@@ -565,6 +741,25 @@ def _deform_bwd_pallas(feat, pos_yx, g):
     S = C // LANE
     st = slice_tiles(H * W, S, feat.dtype.itemsize)
     assert st is not None, feat.shape
+
+    import os
+    use_v1 = os.environ.get('KGDET_DEFORM_BWD') == 'v1'
+    if not use_v1:
+        # v2 keeps more scoped VMEM resident than the v1 budget accounts
+        # for: the position-grad scratch (2*st, TP, K*LANE) f32 and the
+        # double-buffered g block. Shrink the lane-slice count until the
+        # whole footprint fits (the f32 83-tap parity shape OOMs at the
+        # plain slice_tiles choice).
+        def v2_bytes(s):
+            return (H * W * s * LANE * feat.dtype.itemsize      # slab
+                    + H * W * s * LANE * 4                       # gfeat out
+                    + 2 * TP * K * s * LANE * g.dtype.itemsize   # g block x2
+                    + 2 * s * TP * K * LANE * 4)                 # scratch
+        while st > 1 and v2_bytes(st) > 13 * 1024 * 1024:
+            st -= 1
+            while S % st:
+                st -= 1
+        assert v2_bytes(st) <= 15 * 1024 * 1024, (feat.shape, K, st)
     n_s = S // st
 
     starts, wd8 = _prep_indices_bwd(pos_yx, H, W)
@@ -583,12 +778,7 @@ def _deform_bwd_pallas(feat, pos_yx, g):
     def run_slice(feat_slab, g_slab):
         """Fused backward over one (B, HW, st, LANE) channel slab (one
         pallas_call per slab — see deform_sample_pallas.run_slice)."""
-        return pl.pallas_call(
-            functools.partial(_bwd_kernel, K=K),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, H * W, st, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((B, n_pt, TP, K * 2), jnp.float32),
-            ),
+        common = dict(
             grid=(B, n_pt),
             in_specs=[
                 pl.BlockSpec((1, 1, TP, K * 2), lambda b, t: (b, t, 0, 0),
@@ -602,15 +792,45 @@ def _deform_bwd_pallas(feat, pos_yx, g):
                              lambda b, t: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
+        )
+        if use_v1:
+            return pl.pallas_call(
+                functools.partial(_bwd_kernel, K=K),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B, H * W, st, LANE), jnp.float32),
+                    jax.ShapeDtypeStruct((B, n_pt, TP, K * 2), jnp.float32),
+                ),
+                out_specs=(
+                    pl.BlockSpec((1, H * W, st, LANE),
+                                 lambda b, t: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, TP, K * 2),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                ),
+                **common,
+            )(starts_k, wd_k, g_slab, feat_slab)
+        gf, gp = pl.pallas_call(
+            functools.partial(_bwd_kernel_v2, K=K, st=st),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H * W, st, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_pt, 2, TP, K), jnp.float32),
+            ),
             out_specs=(
                 pl.BlockSpec((1, H * W, st, LANE),
                              lambda b, t: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, TP, K * 2),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 2, TP, K),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * st, TP, K * LANE), jnp.float32)],
+            **common,
         )(starts_k, wd_k, g_slab, feat_slab)
+        # (B, n_pt, 2, TP, K) -> (B, n_pt, TP, K, 2) -> v1's (.., TP, K*2)
+        gp = gp.transpose(0, 1, 3, 4, 2).reshape(B, n_pt, TP, K * 2)
+        return gf, gp
 
     if n_s == 1:
         gfeat, gpos = run_slice(feat_r, g_r)

@@ -222,3 +222,47 @@ def test_fused_conv_gradients_match():
     for a, b in zip(gh, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-3)
+
+
+def _dual_xla(cls_feat, pts_feat, pos, w_cls, w_pts, taps):
+    """XLA reference of deform_columns_dual."""
+    cols = pd._split_xla(cls_feat, pts_feat, pos, taps)
+    cls_cat = jnp.concatenate([
+        jnp.einsum('bpkc,kcf->bpf', c, w_cls[i])
+        for i, (c, _) in enumerate(cols)], axis=-1)
+    kpt_cat = jnp.concatenate([
+        jnp.einsum('bpkc,kcf->bpf', p, w_pts[i])
+        for i, (_, p) in enumerate(cols)], axis=-1)
+    return cls_cat, kpt_cat
+
+
+def test_dual_path_primal_and_gradients_match():
+    """deform_columns_dual: fused primal AND split-kernel vjp == XLA."""
+    rng = np.random.RandomState(9)
+    B, H, W, C, F, P = 1, 5, 6, 128, 128, 7
+    taps = (2, 3)
+    K = sum(taps)
+    cf = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pf = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0.2, 4.2, (B, P, K, 2)).astype(np.float32))
+    w_cls = tuple(jnp.asarray((rng.randn(t, C, F) * 0.1).astype(np.float32))
+                  for t in taps)
+    w_pts = tuple(jnp.asarray((rng.randn(t, C, F) * 0.1).astype(np.float32))
+                  for t in taps)
+
+    got = pd.deform_columns_dual(cf, pf, pos, w_cls, w_pts, taps)
+    want = _dual_xla(cf, pf, pos, w_cls, w_pts, taps)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+
+    def loss(fn):
+        return lambda *args: sum(jnp.sum(o ** 2)
+                                 for o in fn(*args, w_pts, taps))
+
+    gh = jax.grad(loss(pd.deform_columns_dual), argnums=(0, 1, 2, 3))(
+        cf, pf, pos, w_cls)
+    gx = jax.grad(loss(_dual_xla), argnums=(0, 1, 2, 3))(cf, pf, pos, w_cls)
+    for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-3)
