@@ -235,6 +235,85 @@ class Bottleneck(nn.Module):
         return out
 
 
+class _ConvKernel(nn.Module):
+    """Declares a conv kernel param at the torch-compatible path without a
+    flax Conv module, so FusedBottleneck can hand raw weights to the fused
+    Pallas block kernel. Param tree is identical to nn.Conv's."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', he_normal_init(), self.shape,
+                          jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """FrozenBatchNorm's params/stats at the same paths, returned raw."""
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param('scale', nn.initializers.ones, (self.ch,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.ch,),
+                          jnp.float32)
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((self.ch,), jnp.float32))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((self.ch,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class FusedBottleneck(nn.Module):
+    """Frozen stride-1 bottleneck computed by one fused Pallas kernel
+    (ops/pallas_resblock.py): inter-conv activations never touch HBM.
+    layer1 is bandwidth bound (~4.7 GB of activation traffic per batch-8
+    step against ~0.2 TFLOP of MXU work), so this is worth ~4 ms/step.
+
+    Param tree is identical to Bottleneck's (conv1/bn1/.../downsample_*),
+    so checkpoints, the converter, and the optimizer mask see no
+    difference. Used by ResNet only for frozen stages (all operands are
+    stop_gradient'ed — the fused kernel has no VJP; semantics match since
+    frozen params take no updates and the stage output gradient is cut).
+    Off-TPU (or for ineligible shapes) it computes the same folded-BN math
+    with XLA convs.
+    """
+    planes: int
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from kgdet_tpu.ops.pallas_resblock import (
+            bottleneck_reference, fold_bn, fused_bottleneck,
+            use_fused_bottleneck)
+
+        B, H, W, cin = x.shape
+        width = self.planes
+        cout = self.planes * 4
+        k1 = _ConvKernel((1, 1, cin, width), name='conv1')()
+        bn1 = _BNParams(width, name='bn1')()
+        k2 = _ConvKernel((3, 3, width, width), name='conv2')()
+        bn2 = _BNParams(width, name='bn2')()
+        k3 = _ConvKernel((1, 1, width, cout), name='conv3')()
+        bn3 = _BNParams(cout, name='bn3')()
+        w1, b1 = fold_bn(k1[0, 0], *bn1)
+        w2, b2 = fold_bn(k2, *bn2)
+        w3, b3 = fold_bn(k3[0, 0], *bn3)
+        if self.downsample:
+            kd = _ConvKernel((1, 1, cin, cout), name='downsample_conv')()
+            bnd = _BNParams(cout, name='downsample_bn')()
+            wd, bd = fold_bn(kd[0, 0], *bnd)
+        else:
+            wd = bd = None
+        args = lax.stop_gradient(
+            (x.astype(self.dtype), w1, b1, w2, b2, w3, b3, wd, bd))
+        if use_fused_bottleneck(H, W, cin, width, cout,
+                                jnp.dtype(self.dtype).itemsize):
+            return fused_bottleneck(*args)
+        return bottleneck_reference(*args)
+
+
 class _StemKernel(nn.Module):
     """Holds the stem conv kernel at the torch-compatible param path
     (backbone/conv1/kernel) for the space-to-depth stem."""
@@ -303,9 +382,23 @@ class ResNet(nn.Module):
                       'gen_attention' if stage in self.gen_attention_stages
                       else None)
             use_dcn = stage in self.dcn_stages
+            # Frozen stage-0 bottlenecks run as one fused Pallas kernel per
+            # block (ops/pallas_resblock.py) — layer1 is HBM-bandwidth
+            # bound. Same param tree as Bottleneck; the plain composition
+            # is kept for calibration traces (which sow per-BN moments).
+            fuse_stage = (block_cls is Bottleneck and stage == 0
+                          and stride == 1 and not use_dcn and plugin is None
+                          and self.groups == 1 and self.frozen_stages >= 1
+                          and not self.is_mutable_collection('intermediates'))
             for i in range(num_blocks):
                 s = stride if i == 0 else 1
                 need_ds = (i == 0) and (s != 1 or in_ch != planes * expansion)
+                if fuse_stage:
+                    x = FusedBottleneck(planes=planes, downsample=need_ds,
+                                        dtype=self.dtype,
+                                        name=f'layer{stage + 1}/{i}')(x)
+                    in_ch = planes * expansion
+                    continue
                 kwargs = {}
                 if block_cls is Bottleneck:
                     kwargs = dict(use_dcn=use_dcn, plugin=plugin,
