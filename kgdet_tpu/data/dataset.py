@@ -114,9 +114,14 @@ class DeepFashion2Dataset:
                 self.proposals = {}
                 for r in self.records:
                     p = raw.get(r.filename, raw.get(r.img_id))
-                    self.proposals[r.img_id] = np.asarray(
-                        p, np.float32).reshape(-1, p.shape[-1] if
-                                               hasattr(p, 'shape') else 4)
+                    if p is None:
+                        raise KeyError(
+                            f'proposal_file {cfg.proposal_file!r} has no '
+                            f'entry for {r.filename!r} (img_id {r.img_id})')
+                    p = np.asarray(p, np.float32)
+                    self.proposals[r.img_id] = (
+                        p.reshape(-1, p.shape[-1]) if p.size
+                        else p.reshape(-1, 4))
             else:
                 by_id = dict(zip(self.coco.img_ids, raw))
                 self.proposals = {
@@ -388,8 +393,17 @@ class DeepFashion2Dataset:
             if fitting:
                 canvas = min(fitting, key=lambda c: c[0] * c[1])
             else:
+                # derive the canvas from the requested scale + aspect flag
+                # (not per-image rh/rw) so every image in an aspect group
+                # shares one shape — batch>1 collation and the lazily built
+                # predict fn then see a single canvas per (scale, flag)
                 div = self.cfg.size_divisor
-                canvas = (-(-rh // div) * div, -(-rw // div) * div)
+                scale = tuple(img_scale or self.cfg.img_scale)
+                long_s, short_s = max(scale), min(scale)
+                hh, ww = ((short_s, long_s) if self.flags[idx] == 1
+                          else (long_s, short_s))
+                canvas = (max(-(-hh // div), -(-rh // div)) * div,
+                          max(-(-ww // div), -(-rw // div)) * div)
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)
         out = {
             'image': img.astype(np.float32),

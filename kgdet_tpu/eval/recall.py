@@ -15,15 +15,18 @@ import numpy as np
 
 
 def bbox_overlaps_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(N, M) IoU matrix between xyxy boxes (exclusive coordinates)."""
+    """(N, M) IoU matrix between xyxy boxes, legacy inclusive (+1)
+    convention — the reference recall protocol's bbox_overlaps
+    (core/evaluation/bbox_overlaps.py) and this repo's eval/mean_ap.py
+    both use (x2 - x1 + 1) areas; AR@N must match that to be comparable."""
     if a.size == 0 or b.size == 0:
         return np.zeros((a.shape[0], b.shape[0]), np.float32)
     tl = np.maximum(a[:, None, :2], b[None, :, :2])
     br = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
-    wh = np.clip(br - tl, 0, None)
+    wh = np.clip(br - tl + 1, 0, None)
     inter = wh[..., 0] * wh[..., 1]
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
     union = area_a[:, None] + area_b[None, :] - inter
     return (inter / np.maximum(union, 1e-10)).astype(np.float32)
 

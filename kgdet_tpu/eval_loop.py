@@ -126,7 +126,13 @@ def run_inference_tta(model, variables, cfg: KGDetConfig, dataset,
             feed = {'image': jnp.asarray(batch['image']),
                     'img_hw': jnp.asarray(batch['img_hw']),
                     'scale_factor': jnp.asarray(batch['scale_factor'])}
-            bboxes, scores, _ = fns[canvas](variables, feed)
+            fn = fns.get(canvas)
+            if fn is None:
+                # TTA scale beyond the configured buckets: build the missing
+                # canvas's decode lazily (api.Detector._predict_for pattern)
+                fn = make_raw_predict_fns(model, cfg, [canvas])[canvas]
+                fns[canvas] = fn
+            bboxes, scores, _ = fn(variables, feed)
             bb = np.asarray(bboxes)
             sc = np.asarray(scores)
             for i, img_id in enumerate(batch['img_id'].tolist()):

@@ -46,15 +46,15 @@ class HRNet(nn.Module):
 
         def conv_bn(feats, k, s, name, relu=True):
             def apply(t):
-                t = _conv(feats, k, s, f'{name}/conv')(t)
+                t = _conv(feats, k, s, f'{name}/conv', dtype=dt)(t)
                 t = FrozenBatchNorm(dtype=dt, name=f'{name}/bn')(t)
                 return nn.relu(t) if relu else t
             return apply
 
         # stem: two 3x3/2 convs (hrnet.py:236-255)
-        x = _conv(64, 3, 2, 'conv1')(x)
+        x = _conv(64, 3, 2, 'conv1', dtype=dt)(x)
         x = nn.relu(FrozenBatchNorm(dtype=dt, name='bn1')(x))
-        x = _conv(64, 3, 2, 'conv2')(x)
+        x = _conv(64, 3, 2, 'conv2', dtype=dt)(x)
         x = nn.relu(FrozenBatchNorm(dtype=dt, name='bn2')(x))
 
         # stage 1: Bottleneck x4 (layer1)
@@ -114,7 +114,7 @@ class HRNet(nn.Module):
                         fname = f'{base}/fuse_layers/{i}/{j}'
                         if j > i:
                             t = _conv(cur_chans[i], 1, 1,
-                                      f'{fname}/conv')(outs[j])
+                                      f'{fname}/conv', dtype=dt)(outs[j])
                             t = FrozenBatchNorm(dtype=dt,
                                                 name=f'{fname}/bn')(t)
                             for _ in range(j - i):

@@ -138,7 +138,12 @@ class SSDVGG(nn.Module):
 
     @classmethod
     def from_config(cls, bcfg, dtype=jnp.float32, name='backbone'):
-        depth = bcfg.depth if bcfg.depth in VGG_ARCH else 16
+        if bcfg.depth not in VGG_ARCH:
+            raise ValueError(
+                f'SSDVGG depth must be one of {sorted(VGG_ARCH)}, got '
+                f'{bcfg.depth!r} (set backbone.depth explicitly; the '
+                f'BackboneConfig default of 50 is a ResNet depth)')
+        depth = bcfg.depth
         return cls(depth=depth, input_size=bcfg.vgg_input_size,
                    with_last_pool=bcfg.vgg_with_last_pool,
                    l2_norm_scale=bcfg.l2_norm_scale, dtype=dtype, name=name)

@@ -45,12 +45,14 @@ def test_eval_recalls_matches_hand_oracle():
 
 
 def test_bbox_overlaps_np_basic():
+    # legacy inclusive (+1) areas, matching the reference recall
+    # protocol's bbox_overlaps and eval/mean_ap.py
     a = np.array([[0, 0, 10, 10]], np.float32)
     b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
                  np.float32)
     ious = bbox_overlaps_np(a, b)
     assert ious[0, 0] == pytest.approx(1.0)
-    assert ious[0, 1] == pytest.approx(25.0 / 175.0)
+    assert ious[0, 1] == pytest.approx(36.0 / 206.0)  # inter 6^2, 121+121-36
     assert ious[0, 2] == 0.0
 
 
@@ -161,6 +163,41 @@ def test_proposal_file_data_pipeline(tmp_path):
     assert s['proposals_valid'].sum() == 2
     t = ds.prepare_test(0)
     assert t['proposals'].shape == (8, 4)
+
+
+def test_proposal_file_dict_form(tmp_path):
+    """Dict-keyed proposal files with plain-list 5-column entries keep
+    their score column (regression: list entries were reshaped (-1, 4),
+    scrambling scores into coordinates); missing keys raise clearly."""
+    import pickle
+
+    import pytest
+
+    from kgdet_tpu.data.dataset import DeepFashion2Dataset
+    from tests.test_data import make_synth_coco
+    tmpdir = str(tmp_path)
+    ann = make_synth_coco(tmpdir, n_images=2, landscape_only=True)
+    raw = {'img_000.jpg': [[1.0, 2.0, 30.0, 40.0, 0.9],
+                           [0.0, 0.0, 10.0, 10.0, 0.5]],
+           'img_001.jpg': [[3.0, 3.0, 20.0, 20.0, 0.7]]}
+    pfile = f'{tmpdir}/props_dict.pkl'
+    with open(pfile, 'wb') as f:
+        pickle.dump(raw, f)
+    cfg = DataConfig(ann_file=ann, img_prefix=tmpdir,
+                     img_scale=(96, 64), max_gts=4,
+                     canvas_hw=((64, 96),), proposal_file=pfile,
+                     num_proposals=8)
+    ds = DeepFashion2Dataset(cfg, train=True)
+    assert ds.proposals[1].shape == (2, 5)
+    np.testing.assert_allclose(ds.proposals[1][:, 4], [0.9, 0.5])
+    s = ds.prepare_test(0)
+    assert s['proposals_valid'].sum() == 2
+
+    raw.pop('img_001.jpg')
+    with open(pfile, 'wb') as f:
+        pickle.dump(raw, f)
+    with pytest.raises(KeyError, match='img_001.jpg'):
+        DeepFashion2Dataset(cfg, train=True)
 
 
 # ---------------------------------------------------------------- ResLayer

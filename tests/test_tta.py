@@ -62,6 +62,27 @@ def test_tta_inference_merges_variants(tta_setup):
     assert np.isfinite(stats['bbox']['AP'])
 
 
+def test_tta_scale_beyond_canvas_buckets(tta_setup):
+    """--aug-scales larger than every configured canvas: prepare_test falls
+    back to a scale-derived /size_divisor canvas shared by the aspect group
+    (so batch>1 collates), and run_inference_tta lazily builds the predict
+    fn for the unseen canvas (regression: KeyError at fns[canvas])."""
+    cfg, model, variables, ds = tta_setup
+    big = (TINY_CANVAS[1] * 2, TINY_CANVAS[0] * 2)   # exceeds all buckets
+    sample = TTAVariant(ds, img_scale=big).prepare_test(0)
+    ch, cw = sample['image'].shape[:2]
+    assert ch > TINY_CANVAS[0] or cw > TINY_CANVAS[1]
+    assert ch % cfg.val_data.size_divisor == 0
+    assert cw % cfg.val_data.size_divisor == 0
+    # every image in the (landscape) group shares the fallback canvas
+    for i in range(1, len(ds)):
+        s2 = TTAVariant(ds, img_scale=big).prepare_test(i)
+        assert s2['image'].shape == sample['image'].shape
+    results = run_inference_tta(model, variables, cfg, ds,
+                                scales=[big], flip=False, verbose=False)
+    assert set(results) == {r.img_id for r in ds.records}
+
+
 def test_run_eval_tta_flag(tta_setup, tmp_path):
     cfg, model, variables, ds = tta_setup
     stats, files = run_eval(model, variables, cfg, ds,
