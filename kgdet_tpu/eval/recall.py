@@ -93,7 +93,10 @@ def eval_proposal_recall(results: Dict[int, tuple], dataset,
                 if not a.get('iscrowd', 0)]
         g = np.asarray([a['bbox'] for a in anns], np.float32).reshape(-1, 4)
         if g.size:
-            g = np.concatenate([g[:, :2], g[:, :2] + g[:, 2:4]], axis=1)
+            # COCO xywh -> xyxy with inclusive corners (x1+w-1), matching
+            # bbox_overlaps_np's legacy (+1) convention and the reference's
+            # coco.py:128 / this repo's dataset.py GT parsing
+            g = np.concatenate([g[:, :2], g[:, :2] + g[:, 2:4] - 1], axis=1)
         gts.append(g)
         props.append(np.asarray(results[img_id][0], np.float32))
     recalls = eval_recalls(gts, props, proposal_nums, iou_thrs)
