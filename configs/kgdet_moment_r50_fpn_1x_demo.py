@@ -26,7 +26,10 @@ config = KGDetConfig(
                     transform_method='moment', norm='gn'),
     assigner=AssignConfig(scale=4, pos_num=25),
     test=TestConfig(),
-    optim=OptimConfig(type='adam', lr=1e-4, warmup_iters=500,
+    # reference demo recipe: Adam(lr=1e-4) with NO weight decay
+    # (/root/reference/configs/kgdet_moment_r50_fpn_1x-demo.py:130)
+    optim=OptimConfig(type='adam', lr=1e-4, weight_decay=0.0,
+                      warmup_iters=500,
                       lr_step_epochs=(8, 11), total_epochs=12),
     train_data=DataConfig(flip_ratio=0.5, **_data),
     val_data=DataConfig(flip_ratio=0.0, **_data),

@@ -30,7 +30,8 @@ config = KGDetConfig(
                     transform_method='moment', norm='gn'),
     assigner=AssignConfig(scale=4, pos_num=25),
     test=TestConfig(),
-    optim=OptimConfig(type='adam', lr=5e-4, warmup_iters=200,
+    optim=OptimConfig(type='adam', lr=5e-4, weight_decay=0.0,
+                      warmup_iters=200,
                       grad_clip_norm=10.0,
                       lr_step_epochs=(60,), total_epochs=80),
     train_data=DataConfig(flip_ratio=0.0, **_data),

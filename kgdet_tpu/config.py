@@ -166,6 +166,12 @@ class OptimConfig:
     lr: float = 5e-3
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    # mmcv paramwise_options (reference mmdet/apis/train.py:63-134):
+    # bias lr/decay multipliers for non-norm biases; decay multiplier for
+    # norm-layer params. 1.0 = the plain global setting.
+    bias_lr_mult: float = 1.0
+    bias_decay_mult: float = 1.0
+    norm_decay_mult: float = 1.0
     grad_clip_norm: float = 35.0
     warmup_iters: int = 500
     warmup_ratio: float = 1.0 / 3

@@ -69,32 +69,93 @@ def frozen_param_mask(params, frozen_stages: int):
     return mask_fn(params)
 
 
+def paramwise_multipliers(params, o):
+    """(lr_mult, decay_mult) trees from mmcv-style paramwise options.
+
+    Parity: build_optimizer's paramwise_options
+    (reference mmdet/apis/train.py:63-134): params under a norm module
+    (component named bn*/gn*) get norm_decay_mult on weight decay; other
+    biases get bias_lr_mult on lr and bias_decay_mult on weight decay.
+    """
+    import re
+
+    def classify(kp):
+        parts = [str(getattr(k, 'key', k)) for k in kp]
+        if any(re.fullmatch(r'(bn|gn)\d*', p) for p in parts[:-1]):
+            return 1.0, o.norm_decay_mult
+        if parts[-1] == 'bias':
+            return o.bias_lr_mult, o.bias_decay_mult
+        return 1.0, 1.0
+
+    lr_mult = jax.tree_util.tree_map_with_path(
+        lambda kp, _: classify(kp)[0], params)
+    decay_mult = jax.tree_util.tree_map_with_path(
+        lambda kp, _: classify(kp)[1], params)
+    return lr_mult, decay_mult
+
+
+def _add_weighted_decay(weight_decay, decay_mult):
+    """add_decayed_weights with a per-param decay multiplier tree."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params):
+        updates = jax.tree_util.tree_map(
+            lambda g, p, m: g + weight_decay * m * p,
+            updates, params, decay_mult)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_per_param(mult):
+    """Elementwise per-param update scale (mmcv per-group lr multiplier)."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(
+            lambda g, m: g * m, updates, mult), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: KGDetConfig, params, steps_per_epoch: int):
     """SGD + momentum + wd 1e-4 + global-norm clip 35 + warmup/step LR.
 
     Parity: optimizer/optimizer_config in the reference config:129-131 and
     DistOptimizerHook (dist_utils.py:44-58). Frozen-stage params get zero
     updates (the JAX equivalent of requires_grad=False).
+
+    Both sgd and adam fold weight decay into the gradient BEFORE the
+    momentum/moment update (torch.optim semantics, not decoupled AdamW), so
+    a converted checkpoint trains identically to the reference recipe.
+    Paramwise bias/norm lr/decay multipliers mirror mmcv's build_optimizer
+    param groups (see paramwise_multipliers).
     """
     o = cfg.optim
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     frozen = frozen_param_mask(params, cfg.backbone.frozen_stages)
+    lr_mult, decay_mult = paramwise_multipliers(params, o)
+    paramwise = any(m != 1.0 for m in
+                    jax.tree_util.tree_leaves((lr_mult, decay_mult)))
+    decay = (_add_weighted_decay(o.weight_decay, decay_mult) if paramwise
+             else optax.add_decayed_weights(o.weight_decay))
     if o.type == 'sgd':
-        scale_steps = [
-            optax.add_decayed_weights(o.weight_decay),
-            optax.trace(decay=o.momentum, nesterov=False),
-        ]
+        scale_steps = [decay, optax.trace(decay=o.momentum, nesterov=False)]
     elif o.type == 'adam':
-        scale_steps = [
-            optax.scale_by_adam(),
-            optax.add_decayed_weights(o.weight_decay),
-        ]
+        # L2-into-grad before the moment update = torch.optim.Adam
+        scale_steps = [decay, optax.scale_by_adam()]
     else:
         raise ValueError(f'unknown optimizer type: {o.type}')
     tx = optax.chain(
         optax.clip_by_global_norm(o.grad_clip_norm),
         *scale_steps,
         optax.scale_by_learning_rate(schedule),
+        *([_scale_per_param(lr_mult)] if paramwise else []),
         optax.masked(optax.set_to_zero(), frozen),
     )
     return tx, schedule
