@@ -9,8 +9,14 @@ import os
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags += ' --xla_force_host_platform_device_count=8'
+if '--xla_cpu_collective_timeout_seconds' not in flags:
+    # on this 1-core host the 8 virtual replicas reach collectives staggered
+    # by their serialized compute; don't let the 40s rendezvous default
+    # abort mesh tests
+    flags += (' --xla_cpu_collective_timeout_seconds=3600'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=3600')
+os.environ['XLA_FLAGS'] = flags.strip()
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/jax_kgdet'))
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
