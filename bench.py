@@ -20,6 +20,74 @@ import numpy as np
 
 BASELINE_FPS = 13.6  # mmdetection v1.x R-50-FPN inference fps on 1x V100
 
+# Self-validation (round-4 verdict task 1): the axon tunnel's wall clock can
+# be satisfied without real execution (r03 recorded a physically impossible
+# 19,665 img/s). Every timed mode now (a) folds a device-side checksum over
+# every iteration's outputs and pulls that one scalar inside the timed
+# region, (b) cross-checks wall-clock against xplane device-busy time, and
+# (c) refuses to print a number that exceeds a compute-roofline bound.
+INFER_ROOFLINE_FPS = 2000.0   # >2000 img/s @ b8 768x1344 R50+cascade is
+                              # beyond one v5e's HBM/MXU roofline
+TRAIN_ROOFLINE_IPS = 500.0
+
+
+def _tree_checksum(outs):
+    """Single f32 scalar folded over every leaf of every iteration's output;
+    pulling it forces all iterations to have really executed."""
+    tot = jnp.zeros((), jnp.float32)
+    for leaf in jax.tree.leaves(outs):
+        tot = tot + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+    return tot
+
+
+def _traced_busy_ms(call, feeds):
+    """Median per-call device-busy ms from an xplane trace of 2 calls; None
+    when no device plane is visible (e.g. CPU smoke runs) or tracing fails."""
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tools'))
+    try:
+        from trace_piece import device_time_ms
+        ms = device_time_ms(call, [(f,) for f in feeds[:3]])
+        return ms if ms > 0 else None
+    except Exception as e:  # tracing must never break the bench itself
+        print(f'bench: trace cross-check unavailable: {e}', file=sys.stderr)
+        return None
+
+
+def emit_validated(metric, value, unit, baseline, checksum, wall_ms,
+                   busy_ms, roofline):
+    """Print the JSON line, or hard-fail (exit 2, no JSON) when the number
+    is physically impossible: non-finite outputs, throughput above the
+    roofline, or wall-clock faster than the device was busy."""
+    problems = []
+    if not np.isfinite(checksum):
+        problems.append(f'non-finite output checksum {checksum}')
+    if value > roofline:
+        problems.append(
+            f'throughput {value:.1f} exceeds the {roofline:.0f} '
+            f'roofline bound — wall clock did not measure real execution')
+    if busy_ms is not None and wall_ms < 0.9 * busy_ms:
+        problems.append(
+            f'wall {wall_ms:.2f} ms/iter < device-busy {busy_ms:.2f} '
+            f'ms/iter — impossible; the timed loop did not wait for the '
+            f'device')
+    if problems:
+        print(json.dumps({'metric': metric, 'error': problems}),
+              file=sys.stderr)
+        sys.exit(2)
+    print(json.dumps({
+        'metric': metric,
+        'value': round(value, 2),
+        'unit': unit,
+        'vs_baseline': round(value / baseline, 2),
+        'checksum': float(checksum),
+        'wall_ms_per_iter': round(wall_ms, 3),
+        'device_busy_ms_per_iter':
+            None if busy_ms is None else round(busy_ms, 3),
+    }))
+
 
 def kernel_check():
     """--check: compiled Mosaic kernel parity vs the XLA reference.
@@ -249,21 +317,24 @@ def train_bench(batch=8):
 
     params, opt_state, logs = step(params, stats, opt_state, feeds[0])
     jax.block_until_ready(logs['loss'])
+    # checksum over the final params: each step consumes the previous
+    # step's params, so pulling it forces the whole chain to have executed
+    # (no xplane cross-check here: full train-step traces explode on this
+    # host — see CLAUDE.md; the chain dependency is the execution proof)
+    csum_fn = jax.jit(_tree_checksum)
+    jax.block_until_ready(csum_fn(params))
 
     n_iters = 12
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, logs = step(params, stats, opt_state,
                                        feeds[i % len(feeds)])
-    jax.block_until_ready(logs['loss'])
+    csum = float(jax.device_get(csum_fn(params)))
     dt = time.perf_counter() - t0
     ips = n_iters * batch / dt
-    print(json.dumps({
-        'metric': f'kgdet_train_throughput_768x1344_b{batch}',
-        'value': round(ips, 2),
-        'unit': 'images/sec/chip',
-        'vs_baseline': round(ips / TRAIN_BASELINE_IPS, 2),
-    }))
+    emit_validated(f'kgdet_train_throughput_768x1344_b{batch}', ips,
+                   'images/sec/chip', TRAIN_BASELINE_IPS, csum,
+                   dt / n_iters * 1e3, None, TRAIN_ROOFLINE_IPS)
 
 
 def serial_bench():
@@ -293,18 +364,21 @@ def serial_bench():
         'scale_factor': jnp.ones((batch,), jnp.float32),
     } for _ in range(10)]
     jax.block_until_ready(feeds)
-    jax.block_until_ready(predict(variables, feeds[0]))
+    out = predict(variables, feeds[0])
+    jax.block_until_ready(out)
+    csum_fn = jax.jit(_tree_checksum)
+    jax.block_until_ready(csum_fn([out] * len(feeds)))
+
     t0 = time.perf_counter()
     outs = [predict(variables, f) for f in feeds]
-    jax.block_until_ready(outs)
+    csum = float(jax.device_get(csum_fn(outs)))
     dt = time.perf_counter() - t0
+
+    busy_ms = _traced_busy_ms(lambda f: predict(variables, f), feeds)
     fps = len(feeds) * batch / dt
-    print(json.dumps({
-        'metric': 'serial_reppoints_inference_throughput_768x1344',
-        'value': round(fps, 2),
-        'unit': 'images/sec/chip',
-        'vs_baseline': round(fps / BASELINE_FPS, 2),
-    }))
+    emit_validated('serial_reppoints_inference_throughput_768x1344', fps,
+                   'images/sec/chip', BASELINE_FPS, csum,
+                   dt / len(feeds) * 1e3, busy_ms, INFER_ROOFLINE_FPS)
 
 
 def main():
@@ -336,22 +410,25 @@ def main():
         })
     jax.block_until_ready(feeds)
 
-    # warmup / compile
+    # warmup / compile (incl. the checksum program so the timed region
+    # contains no compilation)
     out = predict(variables, feeds[0])
     jax.block_until_ready(out)
+    csum_fn = jax.jit(_tree_checksum)
+    jax.block_until_ready(csum_fn([out] * n_iters))
 
     t0 = time.perf_counter()
     outs = [predict(variables, f) for f in feeds]
-    jax.block_until_ready(outs)
+    # the single scalar pull is the timed region's sync: it cannot resolve
+    # until every iteration's outputs exist on device
+    csum = float(jax.device_get(csum_fn(outs)))
     dt = time.perf_counter() - t0
 
+    busy_ms = _traced_busy_ms(lambda f: predict(variables, f), feeds)
     fps = n_iters * batch / dt
-    print(json.dumps({
-        'metric': 'kgdet_inference_throughput_768x1344',
-        'value': round(fps, 2),
-        'unit': 'images/sec/chip',
-        'vs_baseline': round(fps / BASELINE_FPS, 2),
-    }))
+    emit_validated('kgdet_inference_throughput_768x1344', fps,
+                   'images/sec/chip', BASELINE_FPS, csum,
+                   dt / n_iters * 1e3, busy_ms, INFER_ROOFLINE_FPS)
 
 
 if __name__ == '__main__':
