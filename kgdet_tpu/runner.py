@@ -41,11 +41,16 @@ class TrainLogger:
 
     def log_iter(self, epoch, it, total_iters, logs: Dict[str, Any], lr,
                  imgs_per_sec):
-        self.buffer.append({k: float(v) for k, v in logs.items()})
+        # Buffer the DEVICE arrays and pull once per interval (mmcv
+        # LogBuffer behavior). A float(v) per key per iteration would be a
+        # host sync every step (>=35 ms each through the axon relay),
+        # serializing dispatch and defeating the device-prefetch queue.
+        self.buffer.append(logs)
         if not self.enabled or (it + 1) % self.interval:
             return
-        avg = {k: float(np.mean([b[k] for b in self.buffer]))
-               for k in self.buffer[0]}
+        host = jax.device_get(list(self.buffer))   # one sync per interval
+        avg = {k: float(np.mean([b[k] for b in host]))
+               for k in host[0]}
         msg = (f'Epoch [{epoch + 1}][{it + 1}/{total_iters}] '
                f'lr: {lr:.5f}, loss: {avg["loss"]:.4f}, '
                f'img/s: {imgs_per_sec:.1f}')
