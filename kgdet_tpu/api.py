@@ -150,7 +150,9 @@ class Detector:
 
             @jax.jit
             def raw(variables, batch):
-                outs = self.model.apply(variables, batch['image'])
+                from kgdet_tpu.ops.image import device_normalize
+                outs = self.model.apply(variables, device_normalize(
+                    batch['image'], batch['img_hw']))
                 return decode_raw(outs, grids, batch['img_hw'],
                                   batch['scale_factor'], cfg.test,
                                   num_keypts=cfg.head.num_keypts)

@@ -186,6 +186,10 @@ class DataConfig:
     img_prefix: str = ''
     img_scale: Tuple[int, int] = (1333, 800)
     size_divisor: int = 32
+    # ship images to the device as raw uint8 BGR (4x less transfer) and
+    # run BGR->RGB + (x-mean)/std in-graph (ops/image.device_normalize);
+    # False reproduces the reference's host-side float32 normalize exactly
+    device_normalize: bool = True
     flip_ratio: float = 0.5
     # propagate each semantic keypoint group's visible value to the whole
     # group (reference group_mode; off in all shipped recipes)

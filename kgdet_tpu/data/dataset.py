@@ -257,6 +257,16 @@ class DeepFashion2Dataset:
                 img, bboxes, labels, kpts, rng, ignore=ignore)
         return img, bboxes, labels, kpts, ignore
 
+    def _finalize_image(self, img: np.ndarray) -> np.ndarray:
+        """Either normalize on host (reference semantics) or keep raw uint8
+        BGR for device-side normalization (ops/image.device_normalize) —
+        the uint8 transfer is 4x smaller on the host->device link."""
+        if getattr(self.cfg, 'device_normalize', False):
+            if img.dtype != np.uint8:   # float output of photometric augs
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            return np.ascontiguousarray(img)
+        return imnormalize(img)
+
     # ------------------------------------------------------------ train path
     def prepare_train(self, idx: int, rng: np.random.RandomState) -> Dict:
         record = self.records[idx]
@@ -278,7 +288,7 @@ class DeepFashion2Dataset:
         nh, nw = rescale_size(h0, w0, sf)
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         rh, rw = img.shape[:2]
-        img = imnormalize(img)
+        img = self._finalize_image(img)
         bboxes = bboxes * sf
         ignore = ignore * sf
         kpts = kpts.copy()
@@ -317,7 +327,8 @@ class DeepFashion2Dataset:
         out_ignore[:ni] = ignore[:ni]
         out_ignore_mask[:ni] = True
         sample = {
-            'image': img.astype(np.float32),
+            'image': img if img.dtype == np.uint8
+            else img.astype(np.float32),
             'valid_hw': np.array([rh, rw], np.int32),
             'gt_bboxes': out_bboxes,
             'gt_labels': out_labels,
@@ -380,7 +391,7 @@ class DeepFashion2Dataset:
         img = self.load_image(record)
         img, sf = imrescale(img, img_scale or self.cfg.img_scale)
         rh, rw = img.shape[:2]
-        img = imnormalize(img)
+        img = self._finalize_image(img)
         if flip:
             img = img[:, ::-1]
         canvas = self.canvas_for_flag(self.flags[idx])
@@ -406,7 +417,8 @@ class DeepFashion2Dataset:
                           max(-(-ww // div), -(-rw // div)) * div)
         img = pad_to_canvas(np.ascontiguousarray(img), canvas)
         out = {
-            'image': img.astype(np.float32),
+            'image': img if img.dtype == np.uint8
+            else img.astype(np.float32),
             'img_hw': np.array([rh, rw], np.float32),
             'scale_factor': np.float32(sf),
             'flipped': np.bool_(flip),

@@ -38,11 +38,13 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
             decode = two_stage_decoder(cfg.detector_type)
 
             def predict(variables, batch, decode=decode):
+                from kgdet_tpu.ops.image import device_normalize
                 kw = {}
                 if 'proposals' in batch:    # Fast R-CNN external proposals
                     kw = dict(proposals=batch['proposals'],
                               proposals_valid=batch['proposals_valid'])
-                fwd = model.apply(variables, batch['image'],
+                image = device_normalize(batch['image'], batch['img_hw'])
+                fwd = model.apply(variables, image,
                                   batch['img_hw'], train=False, **kw)
                 return decode(
                     fwd, batch['img_hw'], batch['scale_factor'], cfg.test,
@@ -51,7 +53,9 @@ def make_predict_fns(model, cfg: KGDetConfig, canvases):
             decode = get_head_family(cfg.head.type).make_decode(cfg, canvas)
 
             def predict(variables, batch, decode=decode):
-                outs = model.apply(variables, batch['image'])
+                from kgdet_tpu.ops.image import device_normalize
+                outs = model.apply(variables, device_normalize(
+                    batch['image'], batch['img_hw']))
                 return decode(outs, batch['img_hw'],
                               batch['scale_factor'])
 
@@ -85,7 +89,9 @@ def make_raw_predict_fns(model, cfg: KGDetConfig, canvases):
         grids = build_level_geometry(cfg, canvas)
 
         def predict(variables, batch, grids=grids):
-            outs = model.apply(variables, batch['image'])
+            from kgdet_tpu.ops.image import device_normalize
+            outs = model.apply(variables, device_normalize(
+                batch['image'], batch['img_hw']))
             return decode_raw(outs, grids, batch['img_hw'],
                               batch['scale_factor'], cfg.test,
                               num_keypts=cfg.head.num_keypts)

@@ -203,6 +203,8 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
 
     def loss_fn(params, batch_stats, batch):
         from kgdet_tpu.models.families import is_two_stage
+        from kgdet_tpu.ops.image import device_normalize
+        image = device_normalize(batch['image'], batch['valid_hw'])
         if is_two_stage(cfg.detector_type):
             from kgdet_tpu.core.two_stage_loss import two_stage_loss_fn
             from kgdet_tpu.ops.anchors import anchor_valid_flags
@@ -213,7 +215,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
                                 proposals_valid=batch['proposals_valid'])
             fwd = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
-                batch['image'], batch['valid_hw'].astype(jnp.float32),
+                image, batch['valid_hw'].astype(jnp.float32),
                 train=True, **apply_kw)
             H, W = canvas_hw
             A = len(cfg.head.anchor_scales) * len(cfg.head.anchor_ratios)
@@ -232,7 +234,7 @@ def make_train_step(model, cfg: KGDetConfig, canvas_hw, tx):
                 fwd, batch, rng, cfg, valids, canvas_hw=canvas_hw)
 
         outs = model.apply(
-            {'params': params, 'batch_stats': batch_stats}, batch['image'])
+            {'params': params, 'batch_stats': batch_stats}, image)
         valids = batch_valid_flags(cfg, canvas_hw, batch['valid_hw'])
         total, logs = compute_loss(outs, grids, valids, batch, cfg,
                                    canvas_hw=canvas_hw)

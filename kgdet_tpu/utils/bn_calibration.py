@@ -59,7 +59,9 @@ def _calibrate_once(model, variables, batches: Iterable,
     apply_kwargs = apply_kwargs or {}
     moments = {}
     for images in batches:
-        _, state = model.apply(variables, jnp.asarray(images),
+        from kgdet_tpu.ops.image import device_normalize
+        _, state = model.apply(variables,
+                               device_normalize(jnp.asarray(images)),
                                mutable=['intermediates'], **apply_kwargs)
         _collect(state['intermediates'], variables.get('batch_stats', {}),
                  moments)
