@@ -64,6 +64,12 @@ def emit_validated(metric, value, unit, baseline, checksum, wall_ms,
     problems = []
     if not np.isfinite(checksum):
         problems.append(f'non-finite output checksum {checksum}')
+    if checksum <= 0.0:
+        problems.append(
+            f'output checksum {checksum} is not strictly positive — the '
+            f'outputs are trivially zero (or never materialized), so the '
+            f'timed loop proves nothing; bench configs must produce '
+            f'non-empty detections (score_thr=0)')
     if value > roofline:
         problems.append(
             f'throughput {value:.1f} exceeds the {roofline:.0f} '
@@ -347,7 +353,10 @@ def serial_bench():
 
     cfg = load_config(
         'configs/reppoints_moment_serial_r50_fpn_1x_deepfashion2.py')
-    cfg = cfg.replace(compute_dtype='bfloat16')
+    # score_thr=0 keeps the checksum a real execution witness (see main())
+    import dataclasses
+    cfg = cfg.replace(compute_dtype='bfloat16',
+                      test=dataclasses.replace(cfg.test, score_thr=0.0))
     from kgdet_tpu.api import make_predict_fn
     model = build_model(cfg)
     canvas = (768, 1344)
@@ -385,7 +394,14 @@ def main():
     from kgdet_tpu.api import build_model, init_variables, make_predict_fn
     from kgdet_tpu.config import KGDetConfig
 
+    # score_thr=0: random-init logits sit below the focal-bias prior
+    # (~0.01), so the default 0.05 threshold masks EVERY output to zero and
+    # the execution-proving checksum would be trivially 0.0. Keeping all
+    # fixed NMS slots populated costs no extra compute (thresholds are
+    # masks over static shapes) and makes the checksum a real witness.
+    import dataclasses
     cfg = KGDetConfig(compute_dtype='bfloat16')
+    cfg = cfg.replace(test=dataclasses.replace(cfg.test, score_thr=0.0))
     model = build_model(cfg)
     canvas = (768, 1344)  # (1333, 800) keep-ratio resize padded to /32
     batch = 8

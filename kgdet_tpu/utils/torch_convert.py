@@ -93,6 +93,11 @@ def convert_state_dict(state_dict: Dict[str, Any]):
         m = re.match(r'backbone\.(layer\d)\.(\d+)\.conv2_offset\.', key)
         if m:
             dcn_blocks.add(f'{m.group(1)}/{m.group(2)}')
+    # HRFPN and plain FPN both register 'fpn_convs.N' torch modules
+    # (necks/hrfpn.py:54-57 vs fpn2.py); only HRFPN has a reduction_conv,
+    # so its presence selects the HRFPN flax naming for fpn_convs keys
+    neck_is_hrfpn = any(k.startswith('neck.reduction_conv.')
+                        for k in state_dict)
 
     for key, val in state_dict.items():
         v = npy(val)
@@ -101,13 +106,20 @@ def convert_state_dict(state_dict: Dict[str, Any]):
             _convert_backbone(parts[1:], v, params, stats, skipped, key,
                               dcn_blocks)
         elif parts[0] == 'neck':
-            _convert_neck(parts[1:], v, params, skipped, key)
+            _convert_neck(parts[1:], v, params, skipped, key,
+                          is_hrfpn=neck_is_hrfpn)
         elif parts[0] == 'bbox_head':
             _convert_head(parts[1:], v, params, skipped, key)
         elif parts[0] == 'rpn_head':
             _convert_rpn(parts[1:], v, params, skipped, key)
         elif parts[0] == 'mask_head':
-            _convert_mask_head(parts[1:], v, params, skipped, key)
+            # HTC registers per-stage mask heads as a ModuleList
+            # (htc.py mask_head.<stage>.<...>); plain Mask R-CNN has one
+            if parts[1].isdigit():
+                _convert_mask_head(parts[2:], v, params, skipped, key,
+                                   target=f'mask_head_{parts[1]}')
+            else:
+                _convert_mask_head(parts[1:], v, params, skipped, key)
         elif parts[0] == 'grid_head':
             _convert_grid_head(parts[1:], v, params, skipped, key)
         elif parts[0] == 'shared_head':
@@ -245,7 +257,40 @@ def _convert_backbone(parts, v, params, stats, skipped, key, dcn_blocks=()):
         skipped.append(key)
 
 
-def _convert_neck(parts, v, params, skipped, key):
+def _convert_neck(parts, v, params, skipped, key, is_hrfpn=False,
+                  target=('neck',)):
+    # list-form neck (e.g. Libra's [FPN, BFP], libra configs): neck.0 is
+    # the FPN (flax submodule 'fpn'), neck.1 the BFP (flax 'bfp')
+    if parts[0] in ('0', '1'):
+        sub = 'fpn' if parts[0] == '0' else 'bfp'
+        _convert_neck(parts[1:], v, params, skipped, key,
+                      is_hrfpn=is_hrfpn, target=target + (sub,))
+        return
+    leaf = parts[-1]
+    # HRFPN (necks/hrfpn.py:47-57): reduction_conv + per-level fpn_convs,
+    # both ConvModules; flax names reduction_conv / fpn_convs_<i>
+    if parts[0] == 'reduction_conv':
+        _set(params, target + ('reduction_conv',
+                               'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+        return
+    if is_hrfpn and parts[0] == 'fpn_convs':
+        _set(params, target + (f'fpn_convs_{parts[1]}',
+                               'kernel' if leaf == 'weight' else 'bias'),
+             _conv_kernel(v) if leaf == 'weight' else v)
+        return
+    # BFP refine (necks/bfp.py:50-60): 'conv' form is one ConvModule;
+    # 'non_local' form is a NonLocal2D with g/theta/phi/conv_out 1x1s
+    if parts[0] == 'refine':
+        if parts[1] in ('g', 'theta', 'phi', 'conv_out'):
+            _set(params, target + ('refine', parts[1],
+                                   'kernel' if leaf == 'weight' else 'bias'),
+                 _conv_kernel(v) if leaf == 'weight' else v)
+        else:                 # ConvModule: refine.conv.weight/bias
+            _set(params, target + ('refine',
+                                   'kernel' if leaf == 'weight' else 'bias'),
+                 _conv_kernel(v) if leaf == 'weight' else v)
+        return
     m = re.match(r'(lateral|fpn)_convs$', parts[0])
     if not m:
         skipped.append(key)
@@ -256,12 +301,12 @@ def _convert_neck(parts, v, params, skipped, key):
     name = f'{m.group(1)}_{idx}'
     if mod == 'conv':
         if leaf == 'weight':
-            _set(params, ('neck', name, 'conv', 'kernel'), _conv_kernel(v))
+            _set(params, target + (name, 'conv', 'kernel'), _conv_kernel(v))
         else:
-            _set(params, ('neck', name, 'conv', 'bias'), v)
+            _set(params, target + (name, 'conv', 'bias'), v)
     elif mod == 'gn':
-        _set(params, ('neck', name, 'gn', 'scale' if leaf == 'weight'
-                      else 'bias'), v)
+        _set(params, target + (name, 'gn', 'scale' if leaf == 'weight'
+                               else 'bias'), v)
     else:
         skipped.append(key)
 
@@ -347,8 +392,10 @@ def _convert_rpn(parts, v, params, skipped, key):
         skipped.append(key)
 
 
-def _convert_mask_head(parts, v, params, skipped, key):
+def _convert_mask_head(parts, v, params, skipped, key, target='mask_head'):
     """FCN mask head (fcn_mask_head.py): convs.N.conv + upsample + logits.
+    HTC's per-stage variant (htc_mask_head.py:11-24) adds a conv_res
+    ConvModule carrying the previous stage's mask features.
 
     The reference conv_logits carries a background channel 0
     (num_classes includes background in mmdet v1); the flax head predicts
@@ -357,18 +404,22 @@ def _convert_mask_head(parts, v, params, skipped, key):
     if parts[0] == 'convs':
         name = f'conv_{parts[1]}'
         leaf = 'kernel' if parts[3] == 'weight' else 'bias'
-        _set(params, ('mask_head', name, leaf),
+        _set(params, (target, name, leaf),
+             _conv_kernel(v) if leaf == 'kernel' else v)
+    elif parts[0] == 'conv_res':
+        leaf = 'kernel' if parts[-1] == 'weight' else 'bias'
+        _set(params, (target, 'conv_res', leaf),
              _conv_kernel(v) if leaf == 'kernel' else v)
     elif parts[0] == 'upsample':
         leaf = 'kernel' if parts[1] == 'weight' else 'bias'
-        _set(params, ('mask_head', 'upsample', leaf),
+        _set(params, (target, 'upsample', leaf),
              _deconv_kernel(v) if leaf == 'kernel' else v)
     elif parts[0] == 'conv_logits':
         if parts[1] == 'weight':
-            _set(params, ('mask_head', 'conv_logits', 'kernel'),
+            _set(params, (target, 'conv_logits', 'kernel'),
                  _conv_kernel(v[1:]))
         else:
-            _set(params, ('mask_head', 'conv_logits', 'bias'), v[1:])
+            _set(params, (target, 'conv_logits', 'bias'), v[1:])
     else:
         skipped.append(key)
 
@@ -509,6 +560,39 @@ def _convert_head(parts, v, params, skipped, key):
         return
     # two-stage ConvFC box head (convfc_bbox_head.py): shared FCs + heads
     if _convfc_leaf(parts, v, params, 'bbox_head'):
+        return
+    # Double-Head box head (double_bbox_head.py:10-117): BasicResBlock
+    # (ConvModules conv1/conv2/conv_identity with GN) + Bottleneck
+    # conv_branch list + fc_branch Linears
+    if parts[0] == 'res_block':
+        sub, mod, leaf = parts[1], parts[2], parts[-1]
+        if mod == 'conv':
+            _set(params, ('bbox_head', 'res_block', sub,
+                          'kernel' if leaf == 'weight' else 'bias'),
+                 _conv_kernel(v) if leaf == 'weight' else v)
+        else:                                  # gn
+            _set(params, ('bbox_head', 'res_block',
+                          sub.replace('conv', 'gn'),
+                          'scale' if leaf == 'weight' else 'bias'), v)
+        return
+    if parts[0] == 'conv_branch':
+        idx, sub, leaf = parts[1], parts[2], parts[-1]
+        tgt = ('bbox_head', f'conv_branch_{idx}')
+        if sub.startswith('conv'):
+            _set(params, tgt + (sub, 'kernel'), _conv_kernel(v))
+        elif sub.startswith('gn'):
+            _set(params, tgt + (sub,
+                                'scale' if leaf == 'weight' else 'bias'), v)
+        else:
+            skipped.append(key)
+        return
+    if parts[0] == 'fc_branch':
+        idx, leaf = parts[1], parts[-1]
+        if leaf == 'weight':
+            k = _roi_flat_fc_kernel(v) if idx == '0' else _fc_kernel(v)
+            _set(params, ('bbox_head', f'fc_branch_{idx}', 'kernel'), k)
+        else:
+            _set(params, ('bbox_head', f'fc_branch_{idx}', 'bias'), v)
         return
     # guided-anchoring retina head submodules (ga_retina_head.py)
     if _ga_leaf(parts, v, params, ('head',)):

@@ -1,4 +1,6 @@
 """Checkpoint converter tests: name mapping, layout transposes, conv parity."""
+import re
+
 import numpy as np
 import pytest
 
@@ -13,6 +15,7 @@ torch = pytest.importorskip('torch')
 def _flax_to_torch_state(variables):
     """Inverse mapping: build a torch-style state dict from flax variables."""
     state = {}
+    grid_deconvs = {}          # assembled into grouped tensors at the end
 
     def walk(tree, path):
         for k, v in tree.items():
@@ -20,6 +23,42 @@ def _flax_to_torch_state(variables):
                 walk(v, path + [k])
             else:
                 emit(path + [k], np.asarray(v))
+
+    def _res_block_emit(tprefix, block, sub, leaf, v):
+        """Backbone-style residual block params -> torch names."""
+        b = block.replace('/', '.')
+        if sub == 'downsample_conv':
+            state[f'{tprefix}.{b}.downsample.0.weight'] = _t_conv(v)
+        elif sub == 'downsample_bn':
+            state[f'{tprefix}.{b}.downsample.1.'
+                  f'{"weight" if leaf == "scale" else "bias"}'] = \
+                torch.tensor(v)
+        elif sub.startswith('conv'):
+            state[f'{tprefix}.{b}.{sub}.weight'] = _t_conv(v)
+        else:                                # bn scale/bias
+            state[f'{tprefix}.{b}.{sub}.'
+                  f'{"weight" if leaf == "scale" else "bias"}'] = \
+                torch.tensor(v)
+
+    def _convfc_emit(tprefix, mod, leaf, v):
+        """ConvFC / Double-Head box-head params -> torch names. Returns
+        False for modules it does not recognize."""
+        m = re.match(r'(shared_fc|fc_branch)_(\d+)$', mod)
+        if m:
+            kind = 'shared_fcs' if m.group(1) == 'shared_fc' else 'fc_branch'
+            if leaf == 'kernel':
+                val = _t_roi_fc(v) if m.group(2) == '0' else _t_fc(v)
+            else:
+                val = torch.tensor(v)
+            state[f'{tprefix}.{kind}.{m.group(2)}.'
+                  f'{"weight" if leaf == "kernel" else "bias"}'] = val
+            return True
+        if mod in ('fc_cls', 'fc_reg'):
+            state[f'{tprefix}.{mod}.'
+                  f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                _t_fc(v) if leaf == 'kernel' else torch.tensor(v)
+            return True
+        return False
 
     def emit(path, v):
         comp = path[0]
@@ -34,6 +73,24 @@ def _flax_to_torch_state(variables):
             if path[1] == 'l2_norm':
                 state['backbone.l2_norm.weight'] = torch.tensor(v)
                 return
+            # HRNet: transition/fuse chains are flat '<...>/conv' keys
+            # (Sequential slots 0=conv, 1=bn); branch blocks are
+            # 'stageX/M/branches/I/J' keys with resnet-style sub modules
+            if path[1].startswith('transition') or \
+                    'fuse_layers' in path[1]:
+                leaf = path[2]
+                base = path[1].replace('/conv', '/0').replace(
+                    '/bn', '/1').replace('/', '.')
+                if leaf == 'kernel':
+                    state[f'backbone.{base}.weight'] = _t_conv(v)
+                else:
+                    state[f'backbone.{base}.'
+                          f'{"weight" if leaf == "scale" else "bias"}'] = \
+                        torch.tensor(v)
+                return
+            if path[1].startswith('stage'):
+                _res_block_emit('backbone', path[1], path[2], path[3], v)
+                return
             # all other backbone params are conv kernels or bn scale/bias
             name = '.'.join(p.replace('/', '.') for p in path[1:])
             leaf = path[-1]
@@ -46,16 +103,175 @@ def _flax_to_torch_state(variables):
                     'downsample_bn', 'downsample.1')
                 tleaf = 'weight' if leaf == 'scale' else 'bias'
                 state[f'backbone.{tname}.{tleaf}'] = torch.tensor(v)
+        elif comp == 'shared_head':
+            _res_block_emit('shared_head', path[1], path[2], path[3], v)
+        elif comp == 'rpn_head':
+            mod = path[1]
+            if mod == 'feature_adaption':
+                if path[2] == 'conv_adaption':
+                    state['rpn_head.feature_adaption.conv_adaption'
+                          '.weight'] = _t_dcn(v)
+                else:
+                    state['rpn_head.feature_adaption.conv_offset'
+                          '.weight'] = _t_conv(v)
+                return
+            leaf = path[2]
+            state[f'rpn_head.{mod}.'
+                  f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+        elif comp == 'bbox_head' or re.match(r'bbox_head_\d+$', comp):
+            tprefix = 'bbox_head' if comp == 'bbox_head' \
+                else f'bbox_head.{comp.rsplit("_", 1)[1]}'
+            mod = path[1]
+            if _convfc_emit(tprefix, mod, path[-1], v):
+                return
+            if mod == 'res_block':
+                sub, leaf = path[2], path[3]
+                if sub.startswith('conv'):
+                    state[f'{tprefix}.res_block.{sub}.conv.'
+                          f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                        _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                else:                        # gn1/gn2/gn_identity
+                    state[f'{tprefix}.res_block.'
+                          f'{sub.replace("gn", "conv")}.gn.'
+                          f'{"weight" if leaf == "scale" else "bias"}'] = \
+                        torch.tensor(v)
+                return
+            m = re.match(r'conv_branch_(\d+)$', mod)
+            if m:
+                sub, leaf = path[2], path[3]
+                if sub.startswith('conv'):
+                    state[f'{tprefix}.conv_branch.{m.group(1)}.{sub}'
+                          f'.weight'] = _t_conv(v)
+                else:
+                    state[f'{tprefix}.conv_branch.{m.group(1)}.{sub}.'
+                          f'{"weight" if leaf == "scale" else "bias"}'] = \
+                        torch.tensor(v)
+                return
+            raise KeyError(f'{comp}/{mod}')
+        elif comp == 'mask_head' or re.match(r'mask_head_\d+$', comp):
+            tprefix = 'mask_head' if comp == 'mask_head' \
+                else f'mask_head.{comp.rsplit("_", 1)[1]}'
+            mod, leaf = path[1], path[2]
+            tleaf = 'weight' if leaf == 'kernel' else 'bias'
+            m = re.match(r'conv_(\d+)$', mod)
+            if m:
+                state[f'{tprefix}.convs.{m.group(1)}.conv.{tleaf}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+            elif mod == 'conv_res':
+                state[f'{tprefix}.conv_res.conv.{tleaf}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+            elif mod == 'upsample':
+                state[f'{tprefix}.upsample.{tleaf}'] = \
+                    _t_deconv(v) if leaf == 'kernel' else torch.tensor(v)
+            elif mod == 'conv_logits':
+                # re-add the background channel 0 the converter drops
+                if leaf == 'kernel':
+                    w = np.asarray(_t_conv(v))
+                    state[f'{tprefix}.conv_logits.weight'] = torch.tensor(
+                        np.concatenate([np.zeros_like(w[:1]), w]))
+                else:
+                    state[f'{tprefix}.conv_logits.bias'] = torch.tensor(
+                        np.concatenate([np.zeros_like(v[:1]), v]))
+            else:
+                raise KeyError(f'{comp}/{mod}')
+        elif comp == 'mask_iou_head':
+            mod, leaf = path[1], path[2]
+            tleaf = 'weight' if leaf == 'kernel' else 'bias'
+            m = re.match(r'conv_(\d+)$', mod)
+            if m:                            # plain nn.Conv2d list
+                state[f'mask_iou_head.convs.{m.group(1)}.{tleaf}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                return
+            m = re.match(r'fc_(\d+)$', mod)
+            if m:
+                if leaf == 'kernel':
+                    val = _t_roi_fc(v) if m.group(1) == '0' else _t_fc(v)
+                else:
+                    val = torch.tensor(v)
+                state[f'mask_iou_head.fcs.{m.group(1)}.{tleaf}'] = val
+                return
+            assert mod == 'fc_mask_iou', mod
+            state[f'mask_iou_head.fc_mask_iou.{tleaf}'] = \
+                _t_fc(v) if leaf == 'kernel' else torch.tensor(v)
+        elif comp == 'semantic_head':
+            mod, leaf = path[1], path[2]
+            tleaf = 'weight' if leaf == 'kernel' else 'bias'
+            m = re.match(r'(lateral_convs|convs)_(\d+)$', mod)
+            if m:
+                state[f'semantic_head.{m.group(1)}.{m.group(2)}.conv.'
+                      f'{tleaf}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+            elif mod == 'conv_embedding':
+                state[f'semantic_head.conv_embedding.conv.{tleaf}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+            else:                            # conv_logits: plain nn.Conv2d
+                state[f'semantic_head.conv_logits.{tleaf}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+        elif comp == 'grid_head':
+            mod = path[1]
+            leaf = path[-1]
+            tleaf = 'weight' if leaf in ('kernel',) else \
+                ('weight' if leaf == 'scale' else 'bias')
+            m = re.match(r'convs_(\d+)$', mod)
+            if m:
+                state[f'grid_head.convs.{m.group(1)}.conv.'
+                      f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                return
+            m = re.match(r'convs_gn_(\d+)$', mod)
+            if m:
+                state[f'grid_head.convs.{m.group(1)}.gn.{tleaf}'] = \
+                    torch.tensor(v)
+                return
+            m = re.match(r'([fs])order_(\d+)_(\d+)$', mod)
+            if m:
+                seq = '0' if path[2] == 'dw' else '1'
+                state[f'grid_head.{m.group(1)}order_trans.{m.group(2)}.'
+                      f'{m.group(3)}.{seq}.'
+                      f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                return
+            if mod == 'deconv1_gn':
+                state[f'grid_head.norm1.{tleaf}'] = torch.tensor(v)
+                return
+            m = re.match(r'(deconv[12])_(\d+)$', mod)
+            if m:                             # grouped: assemble later
+                grid_deconvs.setdefault(
+                    (m.group(1), leaf), {})[int(m.group(2))] = v
+                return
+            raise KeyError(f'{comp}/{mod}')
         elif comp == 'neck':
-            kind, idx = path[1].rsplit('_', 1)
-            mod = path[2]
-            leaf = path[3]
+            # list-form Libra neck: flax 'fpn'/'bfp' submodules <-> the
+            # reference's neck.0 (FPN) / neck.1 (BFP)
+            tprefix, rest = 'neck', path[1:]
+            if rest[0] in ('fpn', 'bfp'):
+                tprefix = f'neck.{0 if rest[0] == "fpn" else 1}'
+                rest = rest[1:]
+            if rest[0] == 'refine':           # BFP non-local refine
+                sub, leaf = rest[1], rest[2]
+                state[f'{tprefix}.refine.{sub}.conv.'
+                      f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                return
+            if rest[0] == 'reduction_conv' or \
+                    re.match(r'fpn_convs_\d+$', rest[0]):
+                # HRFPN ConvModules (hrfpn.py:47-57)
+                name = rest[0].replace('fpn_convs_', 'fpn_convs.')
+                leaf = rest[1]
+                state[f'{tprefix}.{name}.conv.'
+                      f'{"weight" if leaf == "kernel" else "bias"}'] = \
+                    _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
+                return
+            kind, idx = rest[0].rsplit('_', 1)
+            mod = rest[1]
+            leaf = rest[2]
             if mod == 'conv':
                 val = _t_conv(v) if leaf == 'kernel' else torch.tensor(v)
-                state[f'neck.{kind}_convs.{idx}.conv.'
+                state[f'{tprefix}.{kind}_convs.{idx}.conv.'
                       f'{"weight" if leaf == "kernel" else "bias"}'] = val
             else:
-                state[f'neck.{kind}_convs.{idx}.gn.'
+                state[f'{tprefix}.{kind}_convs.{idx}.gn.'
                       f'{"weight" if leaf == "scale" else "bias"}'] = \
                     torch.tensor(v)
         elif comp == 'head':
@@ -150,13 +366,47 @@ def _flax_to_torch_state(variables):
         return torch.tensor(
             np.transpose(v, (2, 1, 0)).reshape(cout, cin, k, k))
 
+    def _t_fc(v):
+        return torch.tensor(np.transpose(v, (1, 0)))
+
+    def _t_roi_fc(v, roi=7):
+        # inverse of torch_convert._roi_flat_fc_kernel
+        in_f, out_f = v.shape
+        c = in_f // (roi * roi)
+        return torch.tensor(np.transpose(
+            v.reshape(roi, roi, c, out_f), (3, 2, 0, 1)).reshape(
+                out_f, in_f))
+
+    def _t_deconv(v):
+        # inverse of torch_convert._deconv_kernel:
+        # flax (kh, kw, Cin, Cout) -> torch (Cin, Cout, kh, kw)
+        return torch.tensor(
+            np.transpose(v[::-1, ::-1], (2, 3, 0, 1)).copy())
+
     walk(variables['params'], [])
-    for mod_path, leaves in _flatten_stats(variables['batch_stats']):
-        name = mod_path.replace('/', '.').replace(
-            'downsample_bn', 'downsample.1')
-        for leaf, v in leaves.items():
-            tleaf = {'mean': 'running_mean', 'var': 'running_var'}[leaf]
-            state[f'backbone.{name}.{tleaf}'] = torch.tensor(np.asarray(v))
+    # grid head grouped deconvs: per-point flax modules -> one grouped
+    # ConvTranspose2d tensor (grid_head.py deconv1/deconv2)
+    for (name, leaf), slices in grid_deconvs.items():
+        vals = [slices[i] for i in sorted(slices)]
+        if leaf == 'kernel':
+            state[f'grid_head.{name}.weight'] = torch.tensor(
+                np.concatenate([np.asarray(_t_deconv(v)) for v in vals]))
+        else:
+            state[f'grid_head.{name}.bias'] = torch.tensor(
+                np.concatenate(vals))
+    for comp, tree in variables.get('batch_stats', {}).items():
+        for mod_path, leaves in _flatten_stats(tree):
+            if mod_path.startswith('transition') or \
+                    'fuse_layers' in mod_path:
+                # HRNet Sequential chains: slot 0 = conv, slot 1 = bn
+                name = mod_path.replace('/conv', '/0').replace(
+                    '/bn', '/1').replace('/', '.')
+            else:
+                name = mod_path.replace('/', '.').replace(
+                    'downsample_bn', 'downsample.1')
+            for leaf, v in leaves.items():
+                tleaf = {'mean': 'running_mean', 'var': 'running_var'}[leaf]
+                state[f'{comp}.{name}.{tleaf}'] = torch.tensor(np.asarray(v))
     return state
 
 
@@ -167,7 +417,7 @@ def _flatten_stats(tree, prefix=''):
                 isinstance(x, dict) for x in v.values()):
             out.extend(_flatten_stats(v, f'{prefix}{k}/'))
         elif isinstance(v, dict):
-            out.append((f'{prefix}{k}'.replace('backbone/', '', 1), v))
+            out.append((f'{prefix}{k}', v))
     return out
 
 
@@ -393,19 +643,119 @@ def _family_cfg(family):
                                     base_width=4),
             neck=dataclasses.replace(
                 cfg.neck, in_channels=(256, 512, 1024, 2048)))
+    # ------------------------------------------------- two-stage families
+    from kgdet_tpu.config import DataConfig
+    from tests.test_two_stage import frcnn_cfg
+    mask_data = DataConfig(with_mask=True, mask_stride=4, max_gts=4)
+    if family == 'faster':
+        return frcnn_cfg()
+    if family == 'fast':
+        return frcnn_cfg().replace(detector_type='fast_rcnn')
+    if family == 'cascade':
+        return frcnn_cfg().replace(detector_type='cascade_rcnn')
+    if family == 'mask':
+        return frcnn_cfg().replace(detector_type='mask_rcnn',
+                                   train_data=mask_data)
+    if family == 'msrcnn':
+        return frcnn_cfg().replace(detector_type='ms_rcnn',
+                                   train_data=mask_data)
+    if family == 'htc_semantic':
+        base = frcnn_cfg()
+        return base.replace(
+            detector_type='htc', with_semantic=True,
+            head=dataclasses.replace(base.head, num_stuff_classes=8),
+            train_data=dataclasses.replace(mask_data, seg_stride=16))
+    if family == 'grid':
+        return frcnn_cfg().replace(detector_type='grid_rcnn')
+    if family == 'double':
+        return frcnn_cfg().replace(detector_type='double_head_rcnn')
+    if family == 'c4':
+        return frcnn_cfg().replace(rcnn_head='res_layer')
+    if family == 'rpn':
+        return frcnn_cfg().replace(detector_type='rpn')
+    if family == 'ga_rpn':
+        return frcnn_cfg().replace(rpn_type='ga_rpn')
+    if family == 'libra':
+        base = frcnn_cfg()
+        return base.replace(neck=dataclasses.replace(
+            base.neck, type='FPNBFP', start_level=0,
+            bfp_refine_level=1, bfp_refine_type='non_local'))
+    if family == 'ssdvgg':
+        from tests.test_backbones_necks import ssdvgg_cfg
+        return ssdvgg_cfg()
+    if family == 'hrnet':
+        from tests.test_backbones_necks import hrnet_cfg
+        return hrnet_cfg()
     raise KeyError(family)
 
 
-@pytest.mark.parametrize('family', [
+# every converter-covered family; test_config_sweep_converter_coverage
+# maps each shipped config onto one of these so a new config cannot ship
+# without a no-skips round trip
+FAMILIES = [
     'serial', 'parallel', 'reppoints', 'kgdet1rep', 'retina', 'fcos',
-    'ssd', 'ga_retina', 'resnext'])
+    'ssd', 'ga_retina', 'resnext', 'faster', 'fast', 'cascade', 'mask',
+    'msrcnn', 'htc_semantic', 'grid', 'double', 'c4', 'rpn', 'ga_rpn',
+    'libra', 'ssdvgg', 'hrnet']
+
+
+def test_config_sweep_converter_coverage():
+    """Every shipped config maps onto a converter round-trip family: a new
+    config cannot land without naming (and thus exercising) its converter
+    coverage here."""
+    import glob
+    import os
+    CONFIG_FAMILY = {
+        'cascade_rcnn_r50_fpn_1x_deepfashion2.py': 'cascade',
+        'fast_rcnn_r50_fpn_1x_deepfashion2.py': 'fast',
+        # HRNet trunk + HRFPN neck exercised by 'hrnet'; the faster-rcnn
+        # head namespaces by 'faster'
+        'faster_rcnn_hrnetv2p_w32_1x_deepfashion2.py': 'hrnet',
+        'faster_rcnn_r50_caffe_c4_1x_deepfashion2.py': 'c4',
+        'faster_rcnn_r50_fpn_1x_deepfashion2.py': 'faster',
+        'faster_rcnn_x101_32x4d_fpn_1x_deepfashion2.py': 'resnext',
+        'htc_r50_fpn_1x_deepfashion2.py': 'htc_semantic',
+        'kgdet_moment_r50_fpn_1x_deepfashion2.py': 'kgdet',
+        'kgdet_moment_r50_fpn_1x_demo.py': 'kgdet',
+        'kgdet_moment_r50_fpn_1x_demo_overfit.py': 'kgdet',
+        'libra_faster_rcnn_r50_fpn_1x_deepfashion2.py': 'libra',
+        'mask_rcnn_r50_fpn_1x_deepfashion2.py': 'mask',
+        'ms_rcnn_r50_fpn_1x_deepfashion2.py': 'msrcnn',
+        'reppoints_moment_parallel_r50_fpn_1x_deepfashion2.py': 'parallel',
+        'reppoints_moment_serial_r50_fpn_1x_deepfashion2.py': 'serial',
+        'rpn_r50_fpn_1x_deepfashion2.py': 'rpn',
+        'ssd300_vgg16_deepfashion2.py': 'ssdvgg',
+    }
+    # 'kgdet' (the Kp3Rep cascade) round-trips in
+    # test_roundtrip_conversion_exact on the module-scoped tiny cfg
+    covered = set(FAMILIES) | {'kgdet'}
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'configs')
+    for path in sorted(glob.glob(os.path.join(cfg_dir, '*.py'))):
+        name = os.path.basename(path)
+        assert name in CONFIG_FAMILY, \
+            f'config {name} has no converter round-trip family'
+        assert CONFIG_FAMILY[name] in covered, (name, CONFIG_FAMILY[name])
+
+
+@pytest.mark.parametrize('family', FAMILIES)
 def test_family_roundtrip_no_skips(family):
     """Every implemented head family converts with skipped == [] and the
     round trip (flax -> torch names -> flax) is the identity."""
     from tests.common import TINY_CANVAS
     cfg = _family_cfg(family)
     model = build_model(cfg)
-    variables = init_variables(model, cfg, canvas_hw=TINY_CANVAS)
+    if family == 'fast':
+        # Fast R-CNN has no RPN: init needs external proposals
+        import jax
+        import jax.numpy as jnp
+        x = jnp.zeros((1, TINY_CANVAS[0], TINY_CANVAS[1], 3))
+        props = jnp.tile(jnp.asarray([[4., 4., 20., 20.]]), (1, 8, 1))
+        variables = dict(jax.jit(lambda r: model.init(
+            r, x, train=True, proposals=props,
+            proposals_valid=jnp.ones((1, 8), bool)))(jax.random.PRNGKey(0)))
+    else:
+        variables = init_variables(model, cfg, canvas_hw=TINY_CANVAS)
     state = _flax_to_torch_state(variables)
     params, stats, skipped = convert_state_dict(state)
     assert not skipped, skipped
