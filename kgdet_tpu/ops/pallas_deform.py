@@ -41,6 +41,31 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 TP = 16          # pixels per grid step (out block 2.7MB bf16 double-buffered)
 
+
+def _interp_v1(top, bot, w00, w01, w10, w11):
+    """Per-corner scalar*vector lerp: 4 casts + 4 mults + 3 adds, each on a
+    (S, LANE) slice — at S=2 that is 2 sublanes of 8, ~25% vreg occupancy."""
+    return (top[0].astype(jnp.float32) * w00
+            + top[1].astype(jnp.float32) * w01
+            + bot[0].astype(jnp.float32) * w10
+            + bot[1].astype(jnp.float32) * w11)
+
+
+def _interp_v2(top, bot, w00, w01, w10, w11):
+    """Corner-packed lerp: concat the four corner rows into one
+    (4, S, LANE) value (4*S sublanes — a full vreg at S=2), broadcast the
+    four weights along dim 0, and reduce: one full-occupancy multiply +
+    log-depth sublane adds instead of seven quarter-occupancy ops."""
+    corners = jnp.concatenate([top, bot], axis=0)        # (4, S, LANE)
+    w_vec = jnp.stack([w00, w01, w10, w11]).reshape(4, 1, 1)
+    return jnp.sum(corners.astype(jnp.float32) * w_vec, axis=0)
+
+
+def _pick_interp():
+    import os
+    return _interp_v2 if os.environ.get('KGDET_DEFORM_FWD') == 'v2' \
+        else _interp_v1
+
 # VMEM budgets for the resident feature slab. Forward keeps one slab;
 # backward keeps the slab plus an f32 gradient slab of the same extent.
 FWD_SLAB_BUDGET = 6 * 1024 * 1024
@@ -96,7 +121,8 @@ def _prep_indices(pos_yx, H, W):
     return starts, w4
 
 
-def _sample_kernel(starts_ref, w_ref, feat_ref, out_ref, *, K, n_lane_tiles):
+def _sample_kernel(starts_ref, w_ref, feat_ref, out_ref, *, K, n_lane_tiles,
+                   interp):
     """One (b, p-tile) step: gather TP*K taps from the VMEM-resident map.
 
     feat_ref: (1, HW, 8*n_lane_tiles... flattened as (1, HW, S, LANE)).
@@ -113,10 +139,7 @@ def _sample_kernel(starts_ref, w_ref, feat_ref, out_ref, *, K, n_lane_tiles):
             w11 = w_ref[0, 0, p, 4 * k + 3]
             top = feat_ref[0, pl.ds(r0, 2)]      # (2, S, LANE)
             bot = feat_ref[0, pl.ds(r1, 2)]
-            val = (top[0].astype(jnp.float32) * w00
-                   + top[1].astype(jnp.float32) * w01
-                   + bot[0].astype(jnp.float32) * w10
-                   + bot[1].astype(jnp.float32) * w11)
+            val = interp(top, bot, w00, w01, w10, w11)
             out_ref[0, p, k] = val.astype(out_ref.dtype)
         return 0
 
@@ -159,7 +182,8 @@ def deform_sample_pallas(feat, pos_yx):
         tiling is expressed as one call per slab (XLA slices are cheap
         relative to the gather work)."""
         return pl.pallas_call(
-            functools.partial(_sample_kernel, K=K, n_lane_tiles=st),
+            functools.partial(_sample_kernel, K=K, n_lane_tiles=st,
+                              interp=_pick_interp()),
             out_shape=jax.ShapeDtypeStruct(
                 (B, P_pad, K, st, LANE), feat.dtype),
             grid=(B, n_pt),
@@ -209,7 +233,8 @@ deform_sample_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 # outputs, so the per-column contractions downstream need no slicing (which
 # XLA turns into whole-tensor copies) and no zero-padded block-diagonal.
 # ---------------------------------------------------------------------------
-def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half):
+def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half,
+                  interp):
     """out_refs: taps-major, branch-minor: (cls_t0, pts_t0, cls_t1, ...)."""
     bounds = []
     off = 0
@@ -227,10 +252,7 @@ def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half):
             w11 = w_ref[0, 0, p, 4 * k + 3]
             top = feat_ref[0, pl.ds(r0, 2)]      # (2, S, LANE)
             bot = feat_ref[0, pl.ds(r1, 2)]
-            val = (top[0].astype(jnp.float32) * w00
-                   + top[1].astype(jnp.float32) * w01
-                   + bot[0].astype(jnp.float32) * w10
-                   + bot[1].astype(jnp.float32) * w11)
+            val = interp(top, bot, w00, w01, w10, w11)
             ci = next(i for i, (lo, hi) in enumerate(bounds) if lo <= k < hi)
             lo = bounds[ci][0]
             cls_ref = out_refs[2 * ci]
@@ -275,7 +297,8 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
                 memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_split_kernel, K=K, taps=tuple(taps), s_half=S),
+        functools.partial(_split_kernel, K=K, taps=tuple(taps), s_half=S,
+                          interp=_pick_interp()),
         out_shape=tuple(out_shapes),
         grid=(B, n_pt),
         in_specs=[
@@ -333,7 +356,7 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
 
 
 def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
-                  *, K, S):
+                  *, K, S, interp):
     """Gather K taps x C channels for TPF pixels into a VMEM scratch, then
     contract on the MXU. The scratch is (S, TPF, K*LANE) with (TPF, K*LANE)
     the tiled dims, so pixels are walked in sublane-aligned groups of 8:
@@ -356,10 +379,7 @@ def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
                 w11 = w_ref[0, 0, p, 4 * k + 3]
                 top = feat_ref[0, pl.ds(r0, 2)]  # (2, S, LANE)
                 bot = feat_ref[0, pl.ds(r1, 2)]
-                val = (top[0].astype(jnp.float32) * w00
-                       + top[1].astype(jnp.float32) * w01
-                       + bot[0].astype(jnp.float32) * w10
-                       + bot[1].astype(jnp.float32) * w11)
+                val = interp(top, bot, w00, w01, w10, w11)
                 rows.append(val.astype(scratch_ref.dtype))
             tile = jnp.stack(rows)               # (8, S, LANE)
             for s in range(S):
@@ -402,7 +422,8 @@ def _fused_impl(feat, pos_yx, weight):
     outs = []
     for b in range(B):
         outs.append(pl.pallas_call(
-            functools.partial(_fused_kernel, K=K, S=S),
+            functools.partial(_fused_kernel, K=K, S=S,
+                              interp=_pick_interp()),
             out_shape=jax.ShapeDtypeStruct((1, P_pad, F), feat.dtype),
             grid=(n_pt,),
             in_specs=[

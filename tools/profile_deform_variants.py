@@ -1,0 +1,99 @@
+"""A/B device-busy timing of the deform tap-walk interpolation variants.
+
+The round-3 hotspot table (docs/design.md §9) shows the fused deform
+cascade blocks VPU-bound with the MXU idle; the inner loop's 2x2 lerp does
+seven ops on (S, LANE) slices — 2 sublanes at the cascade's S=2, ~25% vreg
+occupancy. _interp_v2 packs the four corner rows into one (4, S, LANE)
+value (a full vreg at S=2) and applies the weights in one broadcast
+multiply + sublane reduction.
+
+This tool traces the fused per-column kernels (k9/k25/k49, the inference
+path) and the shared 83-tap split kernel (the training-forward path) under
+both variants and prints device-busy ms per call, plus a parity check.
+
+Usage (TPU): python tools/profile_deform_variants.py [--iters 6]
+"""
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tools'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_feeds(n, B, H, W, C, K, F, dtype, seed=0):
+    rng = np.random.RandomState(seed)
+    feeds = []
+    for _ in range(n):
+        feat = jnp.asarray(rng.randn(B, H, W, C), dtype)
+        pos = jnp.asarray(
+            np.stack([rng.uniform(-1, H, (B, H * W, K)),
+                      rng.uniform(-1, W, (B, H * W, K))], -1), jnp.float32)
+        w = jnp.asarray(rng.randn(K, C, F) * 0.05, dtype)
+        feeds.append((feat, pos, w))
+    jax.block_until_ready(feeds)
+    return feeds
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--iters', type=int, default=6)
+    args = p.parse_args()
+
+    from trace_piece import device_time_ms
+
+    B, H, W, C, F = 8, 24, 42, 256, 256
+    dtype = jnp.bfloat16
+    results = {}
+
+    for variant in ('v1', 'v2'):
+        os.environ['KGDET_DEFORM_FWD'] = variant
+        import kgdet_tpu.ops.pallas_deform as pd
+        importlib.reload(pd)
+
+        for K in (9, 25, 49):
+            feeds = make_feeds(args.iters + 1, B, H, W, C, K, F, dtype)
+            fn = jax.jit(pd._fused_impl)
+            out = fn(*feeds[0])
+            jax.block_until_ready(out)
+            ms = device_time_ms(fn, feeds)
+            results[f'fused_k{K}_{variant}'] = round(ms, 3)
+            results.setdefault(f'fused_k{K}_out_{variant}',
+                               float(jnp.sum(jnp.abs(
+                                   out.astype(jnp.float32)))))
+            print(f'fused_k{K} {variant}: {ms:.3f} ms', flush=True)
+
+        # shared split gather over the cls|pts concat (83 taps, 2C lanes)
+        taps = (9, 25, 49)
+        K = sum(taps)
+        feeds = make_feeds(args.iters + 1, B, H, W, C, K, F, dtype, seed=1)
+
+        def split_fn(feat, pos, w, pd=pd, taps=taps):
+            outs = pd.deform_sample_split_pallas(feat, feat, pos, taps)
+            return [o for pair in outs for o in pair]
+
+        fn = jax.jit(split_fn)
+        out = fn(*feeds[0])
+        jax.block_until_ready(out)
+        ms = device_time_ms(fn, feeds)
+        results[f'split83_{variant}'] = round(ms, 3)
+        print(f'split83 {variant}: {ms:.3f} ms', flush=True)
+
+    for K in (9, 25, 49):
+        a = results[f'fused_k{K}_out_v1']
+        b = results[f'fused_k{K}_out_v2']
+        assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, a, b)
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()
