@@ -42,29 +42,50 @@ LANE = 128
 TP = 16          # pixels per grid step (out block 2.7MB bf16 double-buffered)
 
 
-def _interp_v1(top, bot, w00, w01, w10, w11):
+def _interp_v1(tl, tr, bl, br, w00, w01, w10, w11):
     """Per-corner scalar*vector lerp: 4 casts + 4 mults + 3 adds, each on a
-    (S, LANE) slice — at S=2 that is 2 sublanes of 8, ~25% vreg occupancy."""
-    return (top[0].astype(jnp.float32) * w00
-            + top[1].astype(jnp.float32) * w01
-            + bot[0].astype(jnp.float32) * w10
-            + bot[1].astype(jnp.float32) * w11)
+    (S, LANE) slice — at S=2 that is 2 sublanes of 8, ~25% vreg occupancy.
+    The on-chip A/B (tools/profile_deform_variants.py, round 4) showed the
+    walk is LOAD-issue bound, not VPU-arith bound: a corner-packed
+    full-vreg variant of this arithmetic measured within 6% either way, so
+    the simple form is kept and the load count is attacked instead
+    (row pairing below)."""
+    return (tl.astype(jnp.float32) * w00
+            + tr.astype(jnp.float32) * w01
+            + bl.astype(jnp.float32) * w10
+            + br.astype(jnp.float32) * w11)
 
 
-def _interp_v2(top, bot, w00, w01, w10, w11):
-    """Corner-packed lerp: concat the four corner rows into one
-    (4, S, LANE) value (4*S sublanes — a full vreg at S=2), broadcast the
-    four weights along dim 0, and reduce: one full-occupancy multiply +
-    log-depth sublane adds instead of seven quarter-occupancy ops."""
-    corners = jnp.concatenate([top, bot], axis=0)        # (4, S, LANE)
-    w_vec = jnp.stack([w00, w01, w10, w11]).reshape(4, 1, 1)
-    return jnp.sum(corners.astype(jnp.float32) * w_vec, axis=0)
+def _load_corners(feat_ref, starts_ref, p, k, *, paired):
+    """The four bilinear corner rows of one tap.
+
+    Unpaired slab (HW, S, LANE): two dynamic loads — ds(r0, 2) is the
+    (x, x+1) top pair, ds(r1, 2) the bottom pair. Paired slab
+    (HW, 2, S, LANE) where [r, 1] pre-stores row r+W: ONE load ds(r0, 2)
+    yields [[tl, bl], [tr, br]] — half the dynamic loads, and the r1
+    SMEM read disappears from the (scalar-pipeline-bound) tap walk."""
+    r0 = starts_ref[0, 0, p, 2 * k]
+    if paired:
+        c4 = feat_ref[0, pl.ds(r0, 2)]       # (2, 2, S, LANE)
+        return c4[0, 0], c4[1, 0], c4[0, 1], c4[1, 1]
+    r1 = starts_ref[0, 0, p, 2 * k + 1]
+    top = feat_ref[0, pl.ds(r0, 2)]          # (2, S, LANE)
+    bot = feat_ref[0, pl.ds(r1, 2)]
+    return top[0], top[1], bot[0], bot[1]
 
 
-def _pick_interp():
+def use_paired_rows():
     import os
-    return _interp_v2 if os.environ.get('KGDET_DEFORM_FWD') == 'v2' \
-        else _interp_v1
+    return os.environ.get('KGDET_DEFORM_FWD', 'pair') == 'pair'
+
+
+def pair_rows(feat_r, W):
+    """(B, HW, S, LANE) -> (B, HW, 2, S, LANE); [:, r, 1] is row r + W
+    (zero tail — only reachable with zero lerp weight). One cheap XLA copy
+    per call that halves the kernel's dynamic-load count."""
+    below = jnp.concatenate(
+        [feat_r[:, W:], jnp.zeros_like(feat_r[:, :W])], axis=1)
+    return jnp.stack([feat_r, below], axis=2)
 
 # VMEM budgets for the resident feature slab. Forward keeps one slab;
 # backward keeps the slab plus an f32 gradient slab of the same extent.
@@ -72,14 +93,16 @@ FWD_SLAB_BUDGET = 6 * 1024 * 1024
 BWD_SLAB_BUDGET = 13 * 1024 * 1024
 
 
-def slice_tiles(HW: int, S: int, itemsize: int):
+def slice_tiles(HW: int, S: int, itemsize: int, fwd_factor: int = 1):
     """Largest lane-slice count per grid step (divisor of S) whose resident
-    slabs fit the fwd/bwd VMEM budgets; None if even one slice is too big."""
+    slabs fit the fwd/bwd VMEM budgets; None if even one slice is too big.
+    fwd_factor scales only the forward slab (2 for row-paired slabs — the
+    backward kernel always keeps the plain slab)."""
     for st in range(S, 0, -1):
         if S % st:
             continue
         slab = HW * st * LANE * itemsize
-        if slab <= FWD_SLAB_BUDGET and \
+        if slab * fwd_factor <= FWD_SLAB_BUDGET and \
                 HW * st * LANE * (itemsize + 4) <= BWD_SLAB_BUDGET:
             return st
     return None
@@ -122,24 +145,22 @@ def _prep_indices(pos_yx, H, W):
 
 
 def _sample_kernel(starts_ref, w_ref, feat_ref, out_ref, *, K, n_lane_tiles,
-                   interp):
+                   paired):
     """One (b, p-tile) step: gather TP*K taps from the VMEM-resident map.
 
-    feat_ref: (1, HW, 8*n_lane_tiles... flattened as (1, HW, S, LANE)).
+    feat_ref: (1, HW, S, LANE), or (1, HW, 2, S, LANE) row-paired.
     out_ref: (1, TP, K, S, LANE).
     """
     def body(p, _):
         # k unrolled: no div/mod on the hot path, more load-level ILP
         for k in range(K):
-            r0 = starts_ref[0, 0, p, 2 * k]
-            r1 = starts_ref[0, 0, p, 2 * k + 1]
             w00 = w_ref[0, 0, p, 4 * k]
             w01 = w_ref[0, 0, p, 4 * k + 1]
             w10 = w_ref[0, 0, p, 4 * k + 2]
             w11 = w_ref[0, 0, p, 4 * k + 3]
-            top = feat_ref[0, pl.ds(r0, 2)]      # (2, S, LANE)
-            bot = feat_ref[0, pl.ds(r1, 2)]
-            val = interp(top, bot, w00, w01, w10, w11)
+            tl, tr, bl, br = _load_corners(feat_ref, starts_ref, p, k,
+                                           paired=paired)
+            val = _interp_v1(tl, tr, bl, br, w00, w01, w10, w11)
             out_ref[0, p, k] = val.astype(out_ref.dtype)
         return 0
 
@@ -158,7 +179,14 @@ def deform_sample_pallas(feat, pos_yx):
     _, P, K, _ = pos_yx.shape
     assert C % LANE == 0, C
     S = C // LANE
-    st = slice_tiles(H * W, S, feat.dtype.itemsize)
+    paired = use_paired_rows()
+    st = None
+    if paired:                         # paired slab is 2x: may not fit
+        st = slice_tiles(H * W, S, feat.dtype.itemsize, fwd_factor=2)
+        if st is None:
+            paired = False
+    if st is None:
+        st = slice_tiles(H * W, S, feat.dtype.itemsize)
     assert st is not None, feat.shape
     n_s = S // st
 
@@ -177,13 +205,22 @@ def deform_sample_pallas(feat, pos_yx):
     n_pt = P_pad // TP
 
     def run_slice(feat_slab):
-        """One pallas_call over an (B, HW, st, LANE) channel slab. Mosaic
-        requires the trailing block dims to equal the array dims, so
-        tiling is expressed as one call per slab (XLA slices are cheap
-        relative to the gather work)."""
+        """One pallas_call over an (B, HW, st, LANE) channel slab (row-
+        paired: (B, HW, 2, st, LANE)). Mosaic requires the trailing block
+        dims to equal the array dims, so tiling is expressed as one call
+        per slab (XLA slices are cheap relative to the gather work)."""
+        if paired:
+            feat_slab = pair_rows(feat_slab, W)
+            feat_spec = pl.BlockSpec((1, H * W, 2, st, LANE),
+                                     lambda b, t: (b, 0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+        else:
+            feat_spec = pl.BlockSpec((1, H * W, st, LANE),
+                                     lambda b, t: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
         return pl.pallas_call(
             functools.partial(_sample_kernel, K=K, n_lane_tiles=st,
-                              interp=_pick_interp()),
+                              paired=paired),
             out_shape=jax.ShapeDtypeStruct(
                 (B, P_pad, K, st, LANE), feat.dtype),
             grid=(B, n_pt),
@@ -192,8 +229,7 @@ def deform_sample_pallas(feat, pos_yx):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, TP, K * 4), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, H * W, st, LANE), lambda b, t: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                feat_spec,
             ],
             out_specs=pl.BlockSpec((1, TP, K, st, LANE),
                                    lambda b, t: (b, t, 0, 0, 0),
@@ -234,7 +270,7 @@ deform_sample_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 # XLA turns into whole-tensor copies) and no zero-padded block-diagonal.
 # ---------------------------------------------------------------------------
 def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half,
-                  interp):
+                  paired):
     """out_refs: taps-major, branch-minor: (cls_t0, pts_t0, cls_t1, ...)."""
     bounds = []
     off = 0
@@ -244,15 +280,13 @@ def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half,
 
     def body(p, _):
         for k in range(K):
-            r0 = starts_ref[0, 0, p, 2 * k]
-            r1 = starts_ref[0, 0, p, 2 * k + 1]
             w00 = w_ref[0, 0, p, 4 * k]
             w01 = w_ref[0, 0, p, 4 * k + 1]
             w10 = w_ref[0, 0, p, 4 * k + 2]
             w11 = w_ref[0, 0, p, 4 * k + 3]
-            top = feat_ref[0, pl.ds(r0, 2)]      # (2, S, LANE)
-            bot = feat_ref[0, pl.ds(r1, 2)]
-            val = interp(top, bot, w00, w01, w10, w11)
+            tl, tr, bl, br = _load_corners(feat_ref, starts_ref, p, k,
+                                           paired=paired)
+            val = _interp_v1(tl, tr, bl, br, w00, w01, w10, w11)
             ci = next(i for i, (lo, hi) in enumerate(bounds) if lo <= k < hi)
             lo = bounds[ci][0]
             cls_ref = out_refs[2 * ci]
@@ -286,6 +320,17 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
     w4 = w4.reshape(B, P_pad // TP, TP, K * 4)
     feat_r = feat.reshape(B, H * W, 2 * S, LANE)
     n_pt = P_pad // TP
+    paired = use_paired_rows() and slice_tiles(
+        H * W, 2 * S, feat.dtype.itemsize, fwd_factor=2) == 2 * S
+    if paired:
+        feat_r = pair_rows(feat_r, W)
+        feat_spec = pl.BlockSpec((1, H * W, 2, 2 * S, LANE),
+                                 lambda b, i: (b, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        feat_spec = pl.BlockSpec((1, H * W, 2 * S, LANE),
+                                 lambda b, i: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     out_shapes, out_specs = [], []
     for t in taps:
@@ -298,7 +343,7 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
 
     outs = pl.pallas_call(
         functools.partial(_split_kernel, K=K, taps=tuple(taps), s_half=S,
-                          interp=_pick_interp()),
+                          paired=paired),
         out_shape=tuple(out_shapes),
         grid=(B, n_pt),
         in_specs=[
@@ -306,8 +351,7 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, TP, K * 4), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H * W, 2 * S, LANE), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            feat_spec,
         ],
         out_specs=tuple(out_specs),
     )(starts, w4, feat_r)
@@ -343,6 +387,8 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
         return False
     if C % LANE or F % LANE:
         return False
+    # sized for the unpaired slab; _fused_impl falls back to the unpaired
+    # layout when the 2x row-paired slab would exceed the budget
     need = HW * C * itemsize + K * C * F * itemsize \
         + TPF * K * C * itemsize
     if need > FUSED_VMEM_BUDGET:
@@ -356,7 +402,7 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
 
 
 def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
-                  *, K, S, interp):
+                  *, K, S, paired):
     """Gather K taps x C channels for TPF pixels into a VMEM scratch, then
     contract on the MXU. The scratch is (S, TPF, K*LANE) with (TPF, K*LANE)
     the tiled dims, so pixels are walked in sublane-aligned groups of 8:
@@ -371,15 +417,13 @@ def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
             rows = []
             for pr in range(8):
                 p = base + pr
-                r0 = starts_ref[0, 0, p, 2 * k]
-                r1 = starts_ref[0, 0, p, 2 * k + 1]
                 w00 = w_ref[0, 0, p, 4 * k]
                 w01 = w_ref[0, 0, p, 4 * k + 1]
                 w10 = w_ref[0, 0, p, 4 * k + 2]
                 w11 = w_ref[0, 0, p, 4 * k + 3]
-                top = feat_ref[0, pl.ds(r0, 2)]  # (2, S, LANE)
-                bot = feat_ref[0, pl.ds(r1, 2)]
-                val = interp(top, bot, w00, w01, w10, w11)
+                tl, tr, bl, br = _load_corners(feat_ref, starts_ref, p, k,
+                                               paired=paired)
+                val = _interp_v1(tl, tr, bl, br, w00, w01, w10, w11)
                 rows.append(val.astype(scratch_ref.dtype))
             tile = jnp.stack(rows)               # (8, S, LANE)
             for s in range(S):
@@ -411,6 +455,21 @@ def _fused_impl(feat, pos_yx, weight):
     starts = starts.reshape(B, n_pt, TPF, K * 2)
     w4 = w4.reshape(B, n_pt, TPF, K * 4)
     feat_r = feat.reshape(B, H * W, S, LANE)
+    # fall back to the unpaired slab when the 2x paired one would blow the
+    # fused budget together with the weight + gather scratch
+    paired = use_paired_rows() and (
+        2 * H * W * C * feat.dtype.itemsize
+        + K * C * F * feat.dtype.itemsize
+        + TPF * K * C * feat.dtype.itemsize) <= FUSED_VMEM_BUDGET
+    if paired:
+        feat_r = pair_rows(feat_r, W)
+        feat_spec = lambda b: pl.BlockSpec(  # noqa: E731
+            (1, H * W, 2, S, LANE), lambda t, b=b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        feat_spec = lambda b: pl.BlockSpec(  # noqa: E731
+            (1, H * W, S, LANE), lambda t, b=b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM)
     # (K, C, F) -> (S, K*LANE, F): lane-slice-major contraction layout
     wt = weight.reshape(K, S, LANE, F).transpose(1, 0, 2, 3) \
         .reshape(S, K * LANE, F).astype(feat.dtype)
@@ -422,8 +481,7 @@ def _fused_impl(feat, pos_yx, weight):
     outs = []
     for b in range(B):
         outs.append(pl.pallas_call(
-            functools.partial(_fused_kernel, K=K, S=S,
-                              interp=_pick_interp()),
+            functools.partial(_fused_kernel, K=K, S=S, paired=paired),
             out_shape=jax.ShapeDtypeStruct((1, P_pad, F), feat.dtype),
             grid=(n_pt,),
             in_specs=[
@@ -433,9 +491,7 @@ def _fused_impl(feat, pos_yx, weight):
                 pl.BlockSpec((1, 1, TPF, K * 4),
                              lambda t, b=b: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, H * W, S, LANE),
-                             lambda t, b=b: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                feat_spec(b),
                 pl.BlockSpec((S, K * LANE, F), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -1,15 +1,20 @@
-"""A/B device-busy timing of the deform tap-walk interpolation variants.
+"""A/B device-busy timing of the deform tap-walk variants.
 
-The round-3 hotspot table (docs/design.md §9) shows the fused deform
-cascade blocks VPU-bound with the MXU idle; the inner loop's 2x2 lerp does
-seven ops on (S, LANE) slices — 2 sublanes at the cascade's S=2, ~25% vreg
-occupancy. _interp_v2 packs the four corner rows into one (4, S, LANE)
-value (a full vreg at S=2) and applies the weights in one broadcast
-multiply + sublane reduction.
+Round-4 finding #1 (corner-packed arithmetic, KGDET_DEFORM_FWD=v2 —
+removed again): packing the four corner rows into one full-occupancy
+(4, S, LANE) multiply measured within 6% of the naive per-corner lerp
+(k9 0.483 -> 0.495, k25 1.203 -> 1.236, k49 3.720 -> 3.505, split83
+11.852 -> 11.861 ms device-busy) — the walk is LOAD-issue bound
+(~4.7 ns per dynamic load), not VPU-arith bound.
+
+Variant 'pair' therefore halves the load count instead: the slab is
+pre-paired so feat[r] carries row r AND row r+W, and one ds(r0, 2) load
+fetches all four bilinear corners (ops/pallas_deform.pair_rows).
 
 This tool traces the fused per-column kernels (k9/k25/k49, the inference
 path) and the shared 83-tap split kernel (the training-forward path) under
-both variants and prints device-busy ms per call, plus a parity check.
+KGDET_DEFORM_FWD=v1 and =pair and prints device-busy ms per call, plus an
+output parity check.
 
 Usage (TPU): python tools/profile_deform_variants.py [--iters 6]
 """
@@ -55,7 +60,7 @@ def main():
     dtype = jnp.bfloat16
     results = {}
 
-    for variant in ('v1', 'v2'):
+    for variant in ('v1', 'pair'):
         os.environ['KGDET_DEFORM_FWD'] = variant
         import kgdet_tpu.ops.pallas_deform as pd
         importlib.reload(pd)
@@ -90,7 +95,7 @@ def main():
 
     for K in (9, 25, 49):
         a = results[f'fused_k{K}_out_v1']
-        b = results[f'fused_k{K}_out_v2']
+        b = results[f'fused_k{K}_out_pair']
         assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, a, b)
     print(json.dumps(results))
 
