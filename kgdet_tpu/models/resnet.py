@@ -22,6 +22,8 @@ from jax import lax
 
 from kgdet_tpu.models.layers import FrozenBatchNorm, he_normal_init, \
     max_pool_3x3_s2
+from kgdet_tpu.ops.pallas_stem import stem_layer1_pipeline, \
+    use_stem_pipeline
 
 ARCH_SETTINGS = {
     18: ('basic', (2, 2, 2, 2)),
@@ -283,12 +285,13 @@ class FusedBottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_transposed=False, cin=None):
         from kgdet_tpu.ops.pallas_resblock import (
             bottleneck_reference, fold_bn, fused_bottleneck,
             use_fused_bottleneck)
 
-        B, H, W, cin = x.shape
+        if x is not None:
+            B, H, W, cin = x.shape
         width = self.planes
         cout = self.planes * 4
         k1 = _ConvKernel((1, 1, cin, width), name='conv1')()
@@ -306,6 +309,12 @@ class FusedBottleneck(nn.Module):
             wd, bd = fold_bn(kd[0, 0], *bnd)
         else:
             wd = bd = None
+        if fold_transposed:
+            # transposed-matmul weight dict for the whole-prefix pipeline
+            # (ops/pallas_stem.py); same params, different contraction form
+            from kgdet_tpu.ops.pallas_stem import transpose_folded
+            return lax.stop_gradient(
+                transpose_folded(w1, b1, w2, b2, w3, b3, wd, bd))
         args = lax.stop_gradient(
             (x.astype(self.dtype), w1, b1, w2, b2, w3, b3, wd, bd))
         if use_fused_bottleneck(H, W, cin, width, cout,
@@ -357,7 +366,39 @@ class ResNet(nn.Module):
         expansion = 1 if block_type == 'basic' else 4
 
         x = x.astype(self.dtype)
-        if self.s2d_stem:
+        # Whole-frozen-prefix pipeline (ops/pallas_stem.py): stem conv +
+        # bn + relu + maxpool + all of layer1 as chained Pallas kernels in
+        # one transposed interior layout — removes the stem's 6/128-lane
+        # MXU waste and every inter-block XLA layout copy. Same param tree
+        # (conv1/bn1/layer1/...); only for the fully frozen prefix, like
+        # FusedBottleneck (no VJP).
+        pipe_stage0 = (
+            self.s2d_stem and block_cls is Bottleneck
+            and not self.is_initializing()
+            and self.frozen_stages >= 1 and self.num_stages >= 1
+            and 0 not in self.dcn_stages and 0 not in self.gcb_stages
+            and 0 not in self.nonlocal_stages
+            and 0 not in self.gen_attention_stages and self.groups == 1
+            and not self.is_mutable_collection('intermediates')
+            and use_stem_pipeline(*x.shape[:3],
+                                  jnp.dtype(self.dtype).itemsize))
+        if pipe_stage0:
+            from kgdet_tpu.ops.pallas_resblock import fold_bn
+            stem_kernel = _StemKernel(name='conv1')()
+            bn1 = _BNParams(64, name='bn1')()
+            sw, sb = fold_bn(stem_kernel, *bn1)
+            blocks = []
+            in_c = 64
+            for i in range(stage_blocks[0]):
+                blocks.append(FusedBottleneck(
+                    planes=64, downsample=(i == 0), dtype=self.dtype,
+                    name=f'layer1/{i}')(None, fold_transposed=True,
+                                        cin=in_c))
+                in_c = 256
+            x = stem_layer1_pipeline(*lax.stop_gradient((x, sw, sb)),
+                                     blocks)
+            x = lax.stop_gradient(x)
+        elif self.s2d_stem:
             stem_kernel = _StemKernel(name='conv1')()
             x = s2d_stem_conv(x, stem_kernel)
         else:
@@ -365,16 +406,23 @@ class ResNet(nn.Module):
                         padding=[(3, 3), (3, 3)], use_bias=False,
                         kernel_init=he_normal_init(), dtype=self.dtype,
                         name='conv1')(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name='bn1')(x)
-        x = nn.relu(x)
-        x = max_pool_3x3_s2(x)
-        if self.frozen_stages == 0:
-            x = lax.stop_gradient(x)
+        if not pipe_stage0:
+            x = FrozenBatchNorm(dtype=self.dtype, name='bn1')(x)
+            x = nn.relu(x)
+            x = max_pool_3x3_s2(x)
+            if self.frozen_stages == 0:
+                x = lax.stop_gradient(x)
 
         outs = []
         planes = 64
         in_ch = 64
         for stage in range(self.num_stages):
+            if stage == 0 and pipe_stage0:
+                in_ch = 256
+                if 0 in self.out_indices:
+                    outs.append(x)
+                planes *= 2
+                continue
             stride = 1 if stage == 0 else 2
             num_blocks = stage_blocks[stage]
             plugin = ('gcb' if stage in self.gcb_stages else

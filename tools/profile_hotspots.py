@@ -88,9 +88,11 @@ def main():
     rows.append(('stem_conv', timed(stem_conv, img_feeds, args.iters)))
     rows.append(('stem_full', timed(stem_full, img_feeds, args.iters)))
 
-    # stem+layer1 (ResNet sliced to one stage) for the layer1 residue
+    # stem+layer1 (ResNet sliced to one stage) for the layer1 residue;
+    # frozen_stages=1 matches the production config, so this takes the
+    # transposed stem->pool->layer1 pipeline (ops/pallas_stem.py) on TPU
     bb1 = ResNet(depth=50, num_stages=1, out_indices=(0,), dtype=dtype,
-                 name='backbone')
+                 frozen_stages=1, name='backbone')
     v1 = bb1.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     @jax.jit
