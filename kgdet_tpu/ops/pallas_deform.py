@@ -401,16 +401,13 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
     return platform == 'tpu'
 
 
-def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
-                  *, K, S, paired):
-    """Gather K taps x C channels for TPF pixels into a VMEM scratch, then
-    contract on the MXU. The scratch is (S, TPF, K*LANE) with (TPF, K*LANE)
-    the tiled dims, so pixels are walked in sublane-aligned groups of 8:
-    each tap's 8 per-pixel (LANE,) values are stacked in registers and
-    stored as one (8, LANE) tile at ds(pg*8, 8) (Mosaic implements dynamic
-    stores only at aligned sublane offsets). The contraction is S
-    accumulated (TPF, K*LANE) @ (K*LANE, F) dots — weight pre-permuted to
-    (S, K*LANE, F) so slice s contracts lane-slice s of every tap."""
+def _gather_tile(starts_ref, w_ref, feat_ref, store, *, K, S, paired,
+                 dtype):
+    """Tap walk for one TPF-pixel tile. Pixels are walked in
+    sublane-aligned groups of 8: each tap's 8 per-pixel (LANE,) values are
+    stacked in registers and handed to `store(s, base, k, tile8)` as
+    (8, LANE) tiles (Mosaic implements dynamic stores only at aligned
+    sublane offsets)."""
     def body(pg, _):
         base = pg * 8
         for k in range(K):
@@ -424,20 +421,68 @@ def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
                 tl, tr, bl, br = _load_corners(feat_ref, starts_ref, p, k,
                                                paired=paired)
                 val = _interp_v1(tl, tr, bl, br, w00, w01, w10, w11)
-                rows.append(val.astype(scratch_ref.dtype))
+                rows.append(val.astype(dtype))
             tile = jnp.stack(rows)               # (8, S, LANE)
             for s in range(S):
-                scratch_ref[s, pl.ds(base, 8), pl.ds(k * LANE, LANE)] = \
-                    tile[:, s, :]
+                store(s, base, k, tile[:, s, :])
         return 0
 
     lax.fori_loop(0, TPF // 8, body, 0)
+
+
+def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
+                  *, K, S, paired):
+    """Gather K taps x C channels for TPF pixels into a VMEM scratch, then
+    contract on the MXU. The scratch is (S, TPF, K*LANE) with (TPF, K*LANE)
+    the tiled dims. The contraction is S accumulated
+    (TPF, K*LANE) @ (K*LANE, F) dots — weight pre-permuted to
+    (S, K*LANE, F) so slice s contracts lane-slice s of every tap."""
+    def store(s, base, k, tile8):
+        scratch_ref[s, pl.ds(base, 8), pl.ds(k * LANE, LANE)] = tile8
+
+    _gather_tile(starts_ref, w_ref, feat_ref, store, K=K, S=S,
+                 paired=paired, dtype=scratch_ref.dtype)
     acc = jnp.dot(scratch_ref[0], wt_ref[0],
                   preferred_element_type=jnp.float32)
     for s in range(1, S):
         acc += jnp.dot(scratch_ref[s], wt_ref[s],
                        preferred_element_type=jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def use_overlap_fused():
+    import os
+    return os.environ.get('KGDET_DEFORM_FUSED') == 'overlap'
+
+
+def _fused_kernel_overlap(starts_ref, w_ref, feat_ref, wt_ref, out_ref,
+                          scratch_ref, *, K, S, paired, n_tiles):
+    """Software-pipelined fused kernel: grid runs n_tiles+1 steps over a
+    two-phase scratch; step t contracts tile t-1 (emitted FIRST, so its
+    MXU work is independent of and can overlap this step's tap walk) and
+    gathers tile t into the other phase."""
+    t = pl.program_id(0)
+
+    @pl.when(t > 0)
+    def _():
+        ph = (t - 1) % 2
+        acc = jnp.dot(scratch_ref[ph, 0], wt_ref[0],
+                      preferred_element_type=jnp.float32)
+        for s in range(1, S):
+            acc += jnp.dot(scratch_ref[ph, s], wt_ref[s],
+                           preferred_element_type=jnp.float32)
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    @pl.when(t < n_tiles)
+    def _():
+        ph = t % 2
+
+        def store(s, base, k, tile8):
+            scratch_ref[ph, s, pl.ds(base, 8), pl.ds(k * LANE, LANE)] = \
+                tile8
+
+        _gather_tile(starts_ref, w_ref, feat_ref, store, K=K, S=S,
+                     paired=paired, dtype=scratch_ref.dtype)
 
 
 def _fused_impl(feat, pos_yx, weight):
@@ -474,30 +519,50 @@ def _fused_impl(feat, pos_yx, weight):
     wt = weight.reshape(K, S, LANE, F).transpose(1, 0, 2, 3) \
         .reshape(S, K * LANE, F).astype(feat.dtype)
 
+    # the two-phase (overlap) variant needs a second gather scratch; fall
+    # back to the sequential kernel when that would blow the budget
+    overlap = use_overlap_fused() and (
+        (2 if paired else 1) * H * W * C * feat.dtype.itemsize
+        + K * C * F * feat.dtype.itemsize
+        + 2 * TPF * K * C * feat.dtype.itemsize) <= FUSED_VMEM_BUDGET
+
     # one call per batch element, batch index closed over in the index
     # maps: a feature slab whose block index varies along a grid dim gets
     # double-buffered by Mosaic (2x 8.25M at serial stride-8 blows the
     # 16M scoped-VMEM limit); an invariant block stays single-buffered
     outs = []
     for b in range(B):
+        if overlap:
+            kern = functools.partial(_fused_kernel_overlap, K=K, S=S,
+                                     paired=paired, n_tiles=n_pt)
+            grid = (n_pt + 1,)
+            smem_idx = lambda t, b=b, n=n_pt: (  # noqa: E731
+                b, jnp.minimum(t, n - 1), 0, 0)
+            out_idx = lambda t: (0, jnp.maximum(t - 1, 0), 0)  # noqa: E731
+            scratch = pltpu.VMEM((2, S, TPF, K * LANE), feat.dtype)
+        else:
+            kern = functools.partial(_fused_kernel, K=K, S=S,
+                                     paired=paired)
+            grid = (n_pt,)
+            smem_idx = lambda t, b=b: (b, t, 0, 0)  # noqa: E731
+            out_idx = lambda t: (0, t, 0)           # noqa: E731
+            scratch = pltpu.VMEM((S, TPF, K * LANE), feat.dtype)
         outs.append(pl.pallas_call(
-            functools.partial(_fused_kernel, K=K, S=S, paired=paired),
+            kern,
             out_shape=jax.ShapeDtypeStruct((1, P_pad, F), feat.dtype),
-            grid=(n_pt,),
+            grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, TPF, K * 2),
-                             lambda t, b=b: (b, t, 0, 0),
+                pl.BlockSpec((1, 1, TPF, K * 2), smem_idx,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, TPF, K * 4),
-                             lambda t, b=b: (b, t, 0, 0),
+                pl.BlockSpec((1, 1, TPF, K * 4), smem_idx,
                              memory_space=pltpu.SMEM),
                 feat_spec(b),
                 pl.BlockSpec((S, K * LANE, F), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, TPF, F), lambda t: (0, t, 0),
+            out_specs=pl.BlockSpec((1, TPF, F), out_idx,
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((S, TPF, K * LANE), feat.dtype)],
+            scratch_shapes=[scratch],
         )(starts, w4, feat_r, wt))
     out = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
     return out[:, :P] if P_pad != P else out
