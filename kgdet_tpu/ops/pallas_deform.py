@@ -450,41 +450,18 @@ def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def use_overlap_fused():
-    import os
-    return os.environ.get('KGDET_DEFORM_FUSED') == 'overlap'
 
-
-def _fused_kernel_overlap(starts_ref, w_ref, feat_ref, wt_ref, out_ref,
-                          scratch_ref, *, K, S, paired, n_tiles):
-    """Software-pipelined fused kernel: grid runs n_tiles+1 steps over a
-    two-phase scratch; step t contracts tile t-1 (emitted FIRST, so its
-    MXU work is independent of and can overlap this step's tap walk) and
-    gathers tile t into the other phase."""
-    t = pl.program_id(0)
-
-    @pl.when(t > 0)
-    def _():
-        ph = (t - 1) % 2
-        acc = jnp.dot(scratch_ref[ph, 0], wt_ref[0],
-                      preferred_element_type=jnp.float32)
-        for s in range(1, S):
-            acc += jnp.dot(scratch_ref[ph, s], wt_ref[s],
-                           preferred_element_type=jnp.float32)
-        out_ref[0] = acc.astype(out_ref.dtype)
-
-    @pl.when(t < n_tiles)
-    def _():
-        ph = t % 2
-
-        def store(s, base, k, tile8):
-            scratch_ref[ph, s, pl.ds(base, 8), pl.ds(k * LANE, LANE)] = \
-                tile8
-
-        _gather_tile(starts_ref, w_ref, feat_ref, store, K=K, S=S,
-                     paired=paired, dtype=scratch_ref.dtype)
-
-
+# Negative result (round 4, on-chip A/B via tools/profile_deform_variants):
+# a software-pipelined two-phase variant of _fused_kernel — grid of
+# n_tiles+1 steps, step t emitting tile t-1's MXU contraction before
+# gathering tile t into the other scratch phase — measured IDENTICAL to
+# the sequential kernel (k49 3.315 vs 3.315 ms, k25 1.196 vs 1.194, k9
+# 0.498 vs 0.495 at the batch-8 cascade shapes). The TensorCore is one
+# in-order VLIW stream: emission order across pl.when phases does not
+# create concurrency, and the contraction's operand loads compete for
+# the same load-issue slots the tap walk saturates. Removed; don't retry
+# intra-kernel overlap without an independent engine (e.g. DMA-driven
+# gather).
 def _fused_impl(feat, pos_yx, weight):
     B, H, W, C = feat.shape
     _, P, K, _ = pos_yx.shape
@@ -519,34 +496,17 @@ def _fused_impl(feat, pos_yx, weight):
     wt = weight.reshape(K, S, LANE, F).transpose(1, 0, 2, 3) \
         .reshape(S, K * LANE, F).astype(feat.dtype)
 
-    # the two-phase (overlap) variant needs a second gather scratch; fall
-    # back to the sequential kernel when that would blow the budget
-    overlap = use_overlap_fused() and (
-        (2 if paired else 1) * H * W * C * feat.dtype.itemsize
-        + K * C * F * feat.dtype.itemsize
-        + 2 * TPF * K * C * feat.dtype.itemsize) <= FUSED_VMEM_BUDGET
-
     # one call per batch element, batch index closed over in the index
     # maps: a feature slab whose block index varies along a grid dim gets
     # double-buffered by Mosaic (2x 8.25M at serial stride-8 blows the
     # 16M scoped-VMEM limit); an invariant block stays single-buffered
     outs = []
     for b in range(B):
-        if overlap:
-            kern = functools.partial(_fused_kernel_overlap, K=K, S=S,
-                                     paired=paired, n_tiles=n_pt)
-            grid = (n_pt + 1,)
-            smem_idx = lambda t, b=b, n=n_pt: (  # noqa: E731
-                b, jnp.minimum(t, n - 1), 0, 0)
-            out_idx = lambda t: (0, jnp.maximum(t - 1, 0), 0)  # noqa: E731
-            scratch = pltpu.VMEM((2, S, TPF, K * LANE), feat.dtype)
-        else:
-            kern = functools.partial(_fused_kernel, K=K, S=S,
-                                     paired=paired)
-            grid = (n_pt,)
-            smem_idx = lambda t, b=b: (b, t, 0, 0)  # noqa: E731
-            out_idx = lambda t: (0, t, 0)           # noqa: E731
-            scratch = pltpu.VMEM((S, TPF, K * LANE), feat.dtype)
+        kern = functools.partial(_fused_kernel, K=K, S=S, paired=paired)
+        grid = (n_pt,)
+        smem_idx = lambda t, b=b: (b, t, 0, 0)  # noqa: E731
+        out_idx = lambda t: (0, t, 0)           # noqa: E731
+        scratch = pltpu.VMEM((S, TPF, K * LANE), feat.dtype)
         outs.append(pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((1, P_pad, F), feat.dtype),

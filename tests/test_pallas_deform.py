@@ -207,23 +207,6 @@ def test_fused_conv_matches_xla():
                                rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize('P', [7, 2 * pd.TPF + 5])
-def test_fused_conv_overlap_variant_matches_xla(monkeypatch, P):
-    """Two-phase (gather tile t while contracting tile t-1) fused kernel
-    == XLA, at single-tile and multi-tile pixel counts."""
-    monkeypatch.setenv('KGDET_DEFORM_FUSED', 'overlap')
-    rng = np.random.RandomState(9)
-    B, H, W, C, K, F = 1, 5, 6, 128, 4, 128
-    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
-    w = jnp.asarray((rng.randn(K, C, F) * 0.1).astype(np.float32))
-    got = pd._fused_impl(feat, pos, w)
-    want = _fused_xla(feat, pos, w)
-    assert got.shape == (B, P, F)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-4)
-
-
 def test_fused_conv_gradients_match():
     rng = np.random.RandomState(8)
     B, H, W, C, K, F, P = 1, 4, 5, 128, 3, 128, 5

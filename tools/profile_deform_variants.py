@@ -60,13 +60,8 @@ def main():
     dtype = jnp.bfloat16
     results = {}
 
-    # 'overlap' = pair + the two-phase fused kernel (contract tile t-1
-    # while gathering tile t); the split kernel is unaffected by it
-    for variant in ('v1', 'pair', 'overlap'):
-        os.environ['KGDET_DEFORM_FWD'] = \
-            'v1' if variant == 'v1' else 'pair'
-        os.environ['KGDET_DEFORM_FUSED'] = \
-            'overlap' if variant == 'overlap' else ''
+    for variant in ('v1', 'pair'):
+        os.environ['KGDET_DEFORM_FWD'] = variant
         import kgdet_tpu.ops.pallas_deform as pd
         importlib.reload(pd)
 
@@ -82,8 +77,6 @@ def main():
                                    out.astype(jnp.float32)))))
             print(f'fused_k{K} {variant}: {ms:.3f} ms', flush=True)
 
-        if variant == 'overlap':
-            continue                # split kernel has no overlap variant
         # shared split gather over the cls|pts concat (83 taps, 2C lanes)
         taps = (9, 25, 49)
         K = sum(taps)
@@ -102,9 +95,8 @@ def main():
 
     for K in (9, 25, 49):
         a = results[f'fused_k{K}_out_v1']
-        for v in ('pair', 'overlap'):
-            b = results[f'fused_k{K}_out_{v}']
-            assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, v, a, b)
+        b = results[f'fused_k{K}_out_pair']
+        assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, a, b)
     print(json.dumps(results))
 
 
