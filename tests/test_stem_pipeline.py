@@ -122,6 +122,21 @@ def test_resnet_pipeline_wiring_matches_standard_path(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_gate_eligibility_at_production_shapes():
+    """All shipped canvases must stay eligible (a silent gate regression
+    would quietly hand the prefix back to the slow XLA path), and
+    non-divisible / giant shapes must be rejected."""
+    from kgdet_tpu.ops.pallas_stem import use_stem_pipeline
+    for H, W in ((768, 1344), (800, 1344), (1344, 800)):
+        for B in (1, 8):
+            assert use_stem_pipeline(B, H, W, 2, platform='tpu'), (H, W)
+    assert not use_stem_pipeline(8, 768, 1344, 2, platform='cpu')
+    assert not use_stem_pipeline(1, 770, 1344, 2, platform='tpu')  # H%32
+    assert not use_stem_pipeline(1, 768, 1342, 2, platform='tpu')  # W%4
+    # f32 at the widest canvas blows the VMEM budget -> must fall back
+    assert not use_stem_pipeline(1, 800, 1344, 4, platform='tpu')
+
+
 def test_full_pipeline_matches_oracle():
     H, W = 64, 16
     rng = np.random.RandomState(7)
