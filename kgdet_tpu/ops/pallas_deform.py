@@ -76,7 +76,20 @@ def _load_corners(feat_ref, starts_ref, p, k, *, paired):
 
 def use_paired_rows():
     import os
-    return os.environ.get('KGDET_DEFORM_FWD', 'pair') == 'pair'
+    return os.environ.get('KGDET_DEFORM_FWD', 'vw') in ('pair', 'vw')
+
+
+def use_vector_weights():
+    """'vw' (default): lerp weights arrive as a VMEM (8, 4) slice per
+    pixel group and the interpolation runs as four full-width segment
+    multiplies over the packed corner tile, instead of 4 SMEM scalar
+    reads + 4 quarter-width scalar*vector ops per pixel. Requires the
+    paired slab (the packed (2, 2, S, LANE) corner load). On-chip A/B
+    (tools/profile_deform_variants.py, round 4): k49 3.32 -> 1.73 ms,
+    k25 1.19 -> 0.92, k9 0.50 -> 0.42 — the walk was scalar-issue bound,
+    not vector-load bound."""
+    import os
+    return os.environ.get('KGDET_DEFORM_FWD', 'vw') == 'vw'
 
 
 def pair_rows(feat_r, W):
@@ -402,12 +415,39 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
 
 
 def _gather_tile(starts_ref, w_ref, feat_ref, store, *, K, S, paired,
-                 dtype):
+                 dtype, vw=False):
     """Tap walk for one TPF-pixel tile. Pixels are walked in
     sublane-aligned groups of 8: each tap's 8 per-pixel (LANE,) values are
     stacked in registers and handed to `store(s, base, k, tile8)` as
     (8, LANE) tiles (Mosaic implements dynamic stores only at aligned
-    sublane offsets)."""
+    sublane offsets).
+
+    vw=True (requires paired): w_ref is a VMEM f32 (TPF, K*4) block whose
+    per-tap corner order matches the packed c4 load's flattening
+    (tl, bl, tr, br). The 8 pixels' packed corner loads are stacked to
+    (8, 4*S*LANE) and the lerp is 4 segment multiplies against (8, 1)
+    weight columns — no SMEM weight reads, no quarter-width ops, and the
+    per-s store is a static lane slice."""
+    SL = S * LANE
+
+    def body_vw(pg, _):
+        base = pg * 8
+        for k in range(K):
+            cs = []
+            for pr in range(8):
+                r0 = starts_ref[0, 0, base + pr, 2 * k]
+                cs.append(feat_ref[0, pl.ds(r0, 2)])  # (2, 2, S, LANE)
+            c = jnp.stack(cs).reshape(8, 4 * SL).astype(jnp.float32)
+            wt = w_ref[0, 0, pl.ds(base, 8), 4 * k:4 * (k + 1)]  # (8, 4)
+            val = (c[:, :SL] * wt[:, 0:1]
+                   + c[:, SL:2 * SL] * wt[:, 1:2]
+                   + c[:, 2 * SL:3 * SL] * wt[:, 2:3]
+                   + c[:, 3 * SL:] * wt[:, 3:4])
+            tile = val.astype(dtype)
+            for s in range(S):
+                store(s, base, k, tile[:, s * LANE:(s + 1) * LANE])
+        return 0
+
     def body(pg, _):
         base = pg * 8
         for k in range(K):
@@ -427,11 +467,11 @@ def _gather_tile(starts_ref, w_ref, feat_ref, store, *, K, S, paired,
                 store(s, base, k, tile[:, s, :])
         return 0
 
-    lax.fori_loop(0, TPF // 8, body, 0)
+    lax.fori_loop(0, TPF // 8, body_vw if vw else body, 0)
 
 
 def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
-                  *, K, S, paired):
+                  *, K, S, paired, vw=False):
     """Gather K taps x C channels for TPF pixels into a VMEM scratch, then
     contract on the MXU. The scratch is (S, TPF, K*LANE) with (TPF, K*LANE)
     the tiled dims. The contraction is S accumulated
@@ -441,7 +481,7 @@ def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
         scratch_ref[s, pl.ds(base, 8), pl.ds(k * LANE, LANE)] = tile8
 
     _gather_tile(starts_ref, w_ref, feat_ref, store, K=K, S=S,
-                 paired=paired, dtype=scratch_ref.dtype)
+                 paired=paired, dtype=scratch_ref.dtype, vw=vw)
     acc = jnp.dot(scratch_ref[0], wt_ref[0],
                   preferred_element_type=jnp.float32)
     for s in range(1, S):
@@ -475,7 +515,6 @@ def _fused_impl(feat, pos_yx, weight):
         w4 = jnp.pad(w4, pad)
     n_pt = P_pad // TPF
     starts = starts.reshape(B, n_pt, TPF, K * 2)
-    w4 = w4.reshape(B, n_pt, TPF, K * 4)
     feat_r = feat.reshape(B, H * W, S, LANE)
     # fall back to the unpaired slab when the 2x paired one would blow the
     # fused budget together with the weight + gather scratch
@@ -483,6 +522,11 @@ def _fused_impl(feat, pos_yx, weight):
         2 * H * W * C * feat.dtype.itemsize
         + K * C * F * feat.dtype.itemsize
         + TPF * K * C * feat.dtype.itemsize) <= FUSED_VMEM_BUDGET
+    vw = use_vector_weights() and paired
+    if vw:
+        # corner order of the packed (2, 2, S, LANE) load: (tl, bl, tr, br)
+        w4 = w4[..., jnp.array([0, 2, 1, 3])]
+    w4 = w4.reshape(B, n_pt, TPF, K * 4)
     if paired:
         feat_r = pair_rows(feat_r, W)
         feat_spec = lambda b: pl.BlockSpec(  # noqa: E731
@@ -502,7 +546,8 @@ def _fused_impl(feat, pos_yx, weight):
     # 16M scoped-VMEM limit); an invariant block stays single-buffered
     outs = []
     for b in range(B):
-        kern = functools.partial(_fused_kernel, K=K, S=S, paired=paired)
+        kern = functools.partial(_fused_kernel, K=K, S=S, paired=paired,
+                                 vw=vw)
         grid = (n_pt,)
         smem_idx = lambda t, b=b: (b, t, 0, 0)  # noqa: E731
         out_idx = lambda t: (0, t, 0)           # noqa: E731
@@ -515,7 +560,8 @@ def _fused_impl(feat, pos_yx, weight):
                 pl.BlockSpec((1, 1, TPF, K * 2), smem_idx,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, TPF, K * 4), smem_idx,
-                             memory_space=pltpu.SMEM),
+                             memory_space=pltpu.VMEM if vw
+                             else pltpu.SMEM),
                 feat_spec(b),
                 pl.BlockSpec((S, K * LANE, F), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -207,6 +207,23 @@ def test_fused_conv_matches_xla():
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize('C', [128, 256])
+def test_fused_conv_vw_variant_matches_xla(monkeypatch, C):
+    """Vector-weight lerp variant (VMEM (8,4) weight slices + packed
+    corner segment multiplies) == XLA, at S=1 and S=2."""
+    monkeypatch.setenv('KGDET_DEFORM_FWD', 'vw')
+    rng = np.random.RandomState(9)
+    B, H, W, K, F, P = 1, 5, 6, 4, 128, 2 * pd.TPF + 5
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
+    w = jnp.asarray((rng.randn(K, C, F) * 0.1).astype(np.float32))
+    got = pd._fused_impl(feat, pos, w)
+    want = _fused_xla(feat, pos, w)
+    assert got.shape == (B, P, F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_fused_conv_gradients_match():
     rng = np.random.RandomState(8)
     B, H, W, C, K, F, P = 1, 4, 5, 128, 3, 128, 5

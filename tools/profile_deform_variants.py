@@ -60,7 +60,7 @@ def main():
     dtype = jnp.bfloat16
     results = {}
 
-    for variant in ('v1', 'pair'):
+    for variant in ('v1', 'pair', 'vw'):
         os.environ['KGDET_DEFORM_FWD'] = variant
         import kgdet_tpu.ops.pallas_deform as pd
         importlib.reload(pd)
@@ -95,8 +95,9 @@ def main():
 
     for K in (9, 25, 49):
         a = results[f'fused_k{K}_out_v1']
-        b = results[f'fused_k{K}_out_pair']
-        assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, a, b)
+        for v in ('pair', 'vw'):
+            b = results[f'fused_k{K}_out_{v}']
+            assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, v, a, b)
     print(json.dumps(results))
 
 
