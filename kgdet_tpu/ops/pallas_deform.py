@@ -283,13 +283,30 @@ deform_sample_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 # XLA turns into whole-tensor copies) and no zero-padded block-diagonal.
 # ---------------------------------------------------------------------------
 def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half,
-                  paired):
-    """out_refs: taps-major, branch-minor: (cls_t0, pts_t0, cls_t1, ...)."""
+                  paired, vw=False):
+    """out_refs: taps-major, branch-minor: (cls_t0, pts_t0, cls_t1, ...).
+
+    vw=True (vector-weight walk, requires paired): out blocks are
+    pixels-in-sublanes (1, 1, t, s_half, TP, LANE) so the walk's (8, LANE)
+    tiles store at sublane-aligned dynamic offsets; the wrapper transposes
+    back to (B, P, t, C) outside (folded into the downstream column
+    contraction by XLA)."""
     bounds = []
     off = 0
     for t in taps:
         bounds.append((off, off + t))
         off += t
+
+    if vw:
+        def store(s, base, k, tile8):
+            ci = next(i for i, (lo, hi) in enumerate(bounds) if lo <= k < hi)
+            lo = bounds[ci][0]
+            ref = out_refs[2 * ci + (0 if s < s_half else 1)]
+            ref[0, 0, k - lo, s % s_half, pl.ds(base, 8)] = tile8
+
+        _gather_tile(starts_ref, w_ref, feat_ref, store, K=K, S=2 * s_half,
+                     paired=True, dtype=out_refs[0].dtype, vw=True, n_pix=TP)
+        return
 
     def body(p, _):
         for k in range(K):
@@ -311,12 +328,20 @@ def _split_kernel(starts_ref, w_ref, feat_ref, *out_refs, K, taps, s_half,
     lax.fori_loop(0, TP, body, 0)
 
 
-def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
+def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps, raw=False):
     """Sample cls/pts branches at shared taps, outputs split per column.
 
     cls_feat/pts_feat: (B, H, W, C); pos_yx: (B, P, K, 2) with K == sum(taps).
     Returns a list of len(taps) pairs: [(cls_(B,P,t,C), pts_(B,P,t,C)), ...].
-    """
+
+    raw=True: when the vector-weight walk is active, skip the transpose
+    back to (B, P, t, C) and return the kernel's native pixels-in-sublanes
+    layout (B, n_pt, t, S, TP, LANE) with zero-padded pixels — consumers
+    contract it directly (einsum 'bnkstl,kslf->bntf' needs no relayout:
+    lanes are minor and pixels are the sublane/M dim), saving a full-tensor
+    XLA copy per call (~1.7 ms at the batch-8 cascade shapes). Ignored
+    (plain layout returned, raw-ness signalled by the 4-d shape) when the
+    vw walk is gated off."""
     B, H, W, C = cls_feat.shape
     _, P, K, _ = pos_yx.shape
     assert K == sum(taps) and C % LANE == 0
@@ -330,11 +355,15 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
         starts = jnp.pad(starts, pad)
         w4 = jnp.pad(w4, pad)
     starts = starts.reshape(B, P_pad // TP, TP, K * 2)
-    w4 = w4.reshape(B, P_pad // TP, TP, K * 4)
     feat_r = feat.reshape(B, H * W, 2 * S, LANE)
     n_pt = P_pad // TP
     paired = use_paired_rows() and slice_tiles(
         H * W, 2 * S, feat.dtype.itemsize, fwd_factor=2) == 2 * S
+    vw = use_vector_weights() and paired
+    if vw:
+        # corner order of the packed (2, 2, 2S, LANE) load: (tl, bl, tr, br)
+        w4 = w4[..., jnp.array([0, 2, 1, 3])]
+    w4 = w4.reshape(B, P_pad // TP, TP, K * 4)
     if paired:
         feat_r = pair_rows(feat_r, W)
         feat_spec = pl.BlockSpec((1, H * W, 2, 2 * S, LANE),
@@ -348,22 +377,29 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
     out_shapes, out_specs = [], []
     for t in taps:
         for _branch in range(2):
-            out_shapes.append(jax.ShapeDtypeStruct(
-                (B, P_pad, t, S, LANE), feat.dtype))
-            out_specs.append(pl.BlockSpec(
-                (1, TP, t, S, LANE), lambda b, i: (b, i, 0, 0, 0),
-                memory_space=pltpu.VMEM))
+            if vw:
+                out_shapes.append(jax.ShapeDtypeStruct(
+                    (B, n_pt, t, S, TP, LANE), feat.dtype))
+                out_specs.append(pl.BlockSpec(
+                    (1, 1, t, S, TP, LANE), lambda b, i: (b, i, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                out_shapes.append(jax.ShapeDtypeStruct(
+                    (B, P_pad, t, S, LANE), feat.dtype))
+                out_specs.append(pl.BlockSpec(
+                    (1, TP, t, S, LANE), lambda b, i: (b, i, 0, 0, 0),
+                    memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         functools.partial(_split_kernel, K=K, taps=tuple(taps), s_half=S,
-                          paired=paired),
+                          paired=paired, vw=vw),
         out_shape=tuple(out_shapes),
         grid=(B, n_pt),
         in_specs=[
             pl.BlockSpec((1, 1, TP, K * 2), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, TP, K * 4), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM if vw else pltpu.SMEM),
             feat_spec,
         ],
         out_specs=tuple(out_specs),
@@ -373,7 +409,13 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps):
     for ci, t in enumerate(taps):
         pair = []
         for br in range(2):
-            o = outs[2 * ci + br].reshape(B, P_pad, t, C)
+            o = outs[2 * ci + br]
+            if vw and raw:
+                pair.append(o)
+                continue
+            if vw:
+                o = o.transpose(0, 1, 4, 2, 3, 5)
+            o = o.reshape(B, P_pad, t, C)
             pair.append(o[:, :P] if P_pad != P else o)
         result.append(tuple(pair))
     return result
@@ -415,8 +457,8 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
 
 
 def _gather_tile(starts_ref, w_ref, feat_ref, store, *, K, S, paired,
-                 dtype, vw=False):
-    """Tap walk for one TPF-pixel tile. Pixels are walked in
+                 dtype, vw=False, n_pix=None):
+    """Tap walk for one n_pix-pixel tile (default TPF). Pixels are walked in
     sublane-aligned groups of 8: each tap's 8 per-pixel (LANE,) values are
     stacked in registers and handed to `store(s, base, k, tile8)` as
     (8, LANE) tiles (Mosaic implements dynamic stores only at aligned
@@ -467,7 +509,8 @@ def _gather_tile(starts_ref, w_ref, feat_ref, store, *, K, S, paired,
                 store(s, base, k, tile[:, s, :])
         return 0
 
-    lax.fori_loop(0, TPF // 8, body_vw if vw else body, 0)
+    lax.fori_loop(0, (TPF if n_pix is None else n_pix) // 8,
+                  body_vw if vw else body, 0)
 
 
 def _fused_kernel(starts_ref, w_ref, feat_ref, wt_ref, out_ref, scratch_ref,
@@ -631,23 +674,52 @@ def deform_columns_dual(cls_feat, pts_feat, pos_yx, w_cls, w_pts, taps):
             jnp.concatenate(outs['pts'], axis=-1))
 
 
+def _col_contract(col, w, P):
+    """(col @ w) -> (B, P, F) for either column layout: plain (B, P, t, C)
+    or the vw kernel's raw (B, n_pt, t, S, TP, LANE)."""
+    if col.ndim == 4:
+        return jnp.einsum('bpkc,kcf->bpf', col, w,
+                          preferred_element_type=jnp.float32)
+    B, n_pt, t, S = col.shape[:4]
+    w6 = w.reshape(t, S, LANE, w.shape[-1])
+    out = jnp.einsum('bnkstl,kslf->bntf', col, w6,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, n_pt * TP, w.shape[-1])
+    return out[:, :P]
+
+
 def _columns_dual_fwd(cls_feat, pts_feat, pos_yx, w_cls, w_pts, taps):
     H, W, C = cls_feat.shape[1:]
+    P = pos_yx.shape[1]
     if use_pallas_split(H, W, C, cls_feat.dtype.itemsize):
-        cols = deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps)
+        cols = deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps,
+                                          raw=True)
     else:
         cols = _split_xla(cls_feat, pts_feat, pos_yx, taps)
     dt = cls_feat.dtype
     cls_cat = jnp.concatenate([
-        jnp.einsum('bpkc,kcf->bpf', c, w_cls[i].astype(dt),
-                   preferred_element_type=jnp.float32).astype(dt)
+        _col_contract(c, w_cls[i].astype(dt), P).astype(dt)
         for i, (c, _) in enumerate(cols)], axis=-1)
     kpt_cat = jnp.concatenate([
-        jnp.einsum('bpkc,kcf->bpf', p, w_pts[i].astype(dt),
-                   preferred_element_type=jnp.float32).astype(dt)
+        _col_contract(p, w_pts[i].astype(dt), P).astype(dt)
         for i, (_, p) in enumerate(cols)], axis=-1)
     return (cls_cat, kpt_cat), (cols, cls_feat, pts_feat, pos_yx,
                                 w_cls, w_pts)
+
+
+def _col_weight_grad(col, g):
+    """d(col @ w)/dw -> (t, C, F) for either column layout (g: (B, P, F))."""
+    if col.ndim == 4:
+        return jnp.einsum('bpkc,bpf->kcf', col, g,
+                          preferred_element_type=jnp.float32)
+    B, n_pt, t, S = col.shape[:4]
+    P = g.shape[1]
+    if n_pt * TP != P:
+        g = jnp.pad(g, [(0, 0), (0, n_pt * TP - P), (0, 0)])
+    g6 = g.reshape(B, n_pt, TP, g.shape[-1])
+    gw = jnp.einsum('bnkstl,bntf->kslf', col, g6,
+                    preferred_element_type=jnp.float32)
+    return gw.reshape(t, S * LANE, g.shape[-1])
 
 
 def _columns_dual_bwd(taps, res, g):
@@ -660,12 +732,8 @@ def _columns_dual_bwd(taps, res, g):
         gc = g_cls[..., ci * F:(ci + 1) * F].astype(jnp.float32)
         gp = g_pts[..., ci * F:(ci + 1) * F].astype(jnp.float32)
         col_c, col_p = cols[ci]
-        gw_cls.append(jnp.einsum('bpkc,bpf->kcf', col_c, gc,
-                                 preferred_element_type=jnp.float32)
-                      .astype(w_cls[ci].dtype))
-        gw_pts.append(jnp.einsum('bpkc,bpf->kcf', col_p, gp,
-                                 preferred_element_type=jnp.float32)
-                      .astype(w_pts[ci].dtype))
+        gw_cls.append(_col_weight_grad(col_c, gc).astype(w_cls[ci].dtype))
+        gw_pts.append(_col_weight_grad(col_p, gp).astype(w_pts[ci].dtype))
         gcol_c = jnp.einsum('bpf,kcf->bpkc', gc,
                             w_cls[ci].astype(jnp.float32))
         gcol_p = jnp.einsum('bpf,kcf->bpkc', gp,

@@ -97,6 +97,29 @@ def test_split_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
 
 
+@pytest.mark.parametrize('variant', ['v1', 'pair', 'vw'])
+def test_split_pallas_variants_match_xla(monkeypatch, variant):
+    """All three tap-walk variants of the split kernel == XLA. 'vw' emits
+    the pixels-in-sublanes (B, n_pt, t, S, TP, LANE) layout and the
+    wrapper transposes back."""
+    monkeypatch.setenv('KGDET_DEFORM_FWD', variant)
+    from kgdet_tpu.ops.pallas_deform import (
+        deform_sample_split_pallas, _split_xla)
+    rng = np.random.RandomState(11)
+    B, H, W, C = 2, 5, 6, 256
+    taps = (2, 3, 4)
+    K = sum(taps)
+    P = pd.TP + 5
+    cls_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pts_f = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
+    got = deform_sample_split_pallas(cls_f, pts_f, pos, taps)
+    want = _split_xla(cls_f, pts_f, pos, taps)
+    for (gc, gp), (wc, wp) in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(wc), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+
+
 def test_split_gradients_match():
     from kgdet_tpu.ops.pallas_deform import deform_sample_split, _split_xla
     rng = np.random.RandomState(6)
@@ -280,6 +303,49 @@ def test_dual_path_primal_and_gradients_match():
     gh = jax.grad(loss(pd.deform_columns_dual), argnums=(0, 1, 2, 3))(
         cf, pf, pos, w_cls)
     gx = jax.grad(loss(_dual_xla), argnums=(0, 1, 2, 3))(cf, pf, pos, w_cls)
+    for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_dual_path_raw_vw_vjp_matches_xla(monkeypatch):
+    """The vjp's split-kernel forward with the vw raw (pixels-in-sublanes)
+    column layout: primal einsum + weight grads + feature/pos grads == XLA.
+    use_pallas_split is forced on so the CPU run drives the same code the
+    TPU training step does."""
+    monkeypatch.setenv('KGDET_DEFORM_FWD', 'vw')
+    monkeypatch.setattr(pd, 'use_pallas_split', lambda *a: True)
+    rng = np.random.RandomState(13)
+    B, H, W, C, F = 1, 5, 6, 128, 128
+    P = pd.TP + 3          # pad path: n_pt * TP != P
+    taps = (2, 3)
+    K = sum(taps)
+    cf = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pf = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0.2, 4.2, (B, P, K, 2)).astype(np.float32))
+    w_cls = tuple(jnp.asarray((rng.randn(t, C, F) * 0.1).astype(np.float32))
+                  for t in taps)
+    w_pts = tuple(jnp.asarray((rng.randn(t, C, F) * 0.1).astype(np.float32))
+                  for t in taps)
+
+    def loss(fn):
+        return lambda *args: sum(jnp.sum(o ** 2)
+                                 for o in fn(*args, taps))
+
+    prim, vjp = jax.vjp(
+        lambda cf, pf, pos, wc, wp: pd.deform_columns_dual(
+            cf, pf, pos, wc, wp, taps), cf, pf, pos, w_cls, w_pts)
+    want_prim = _dual_xla(cf, pf, pos, w_cls, w_pts, taps)
+    for a, b in zip(prim, want_prim):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+    ct = tuple(2.0 * p for p in prim)      # d/dx sum(o^2)
+    gh = vjp(ct)
+    gx = jax.grad(
+        lambda cf, pf, pos, wc, wp: sum(
+            jnp.sum(o ** 2)
+            for o in _dual_xla(cf, pf, pos, wc, wp, taps)),
+        argnums=(0, 1, 2, 3, 4))(cf, pf, pos, w_cls, w_pts)
     for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-3)

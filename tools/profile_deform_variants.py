@@ -52,6 +52,11 @@ def make_feeds(n, B, H, W, C, K, F, dtype, seed=0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--iters', type=int, default=6)
+    p.add_argument('--split-only', action='store_true',
+                   help='skip the fused kernels (and their parity check)')
+    p.add_argument('--variants', default='v1,pair,vw')
+    p.add_argument('--dual-only', action='store_true',
+                   help='measure only the dual-path training forward')
     args = p.parse_args()
 
     from trace_piece import device_time_ms
@@ -60,12 +65,12 @@ def main():
     dtype = jnp.bfloat16
     results = {}
 
-    for variant in ('v1', 'pair', 'vw'):
+    for variant in args.variants.split(','):
         os.environ['KGDET_DEFORM_FWD'] = variant
         import kgdet_tpu.ops.pallas_deform as pd
         importlib.reload(pd)
 
-        for K in (9, 25, 49):
+        for K in () if args.split_only else (9, 25, 49):
             feeds = make_feeds(args.iters + 1, B, H, W, C, K, F, dtype)
             fn = jax.jit(pd._fused_impl)
             out = fn(*feeds[0])
@@ -86,14 +91,34 @@ def main():
             outs = pd.deform_sample_split_pallas(feat, feat, pos, taps)
             return [o for pair in outs for o in pair]
 
-        fn = jax.jit(split_fn)
+        if not args.dual_only:
+            fn = jax.jit(split_fn)
+            out = fn(*feeds[0])
+            jax.block_until_ready(out)
+            ms = device_time_ms(fn, feeds)
+            results[f'split83_{variant}'] = round(ms, 3)
+            print(f'split83 {variant}: {ms:.3f} ms', flush=True)
+
+        # training forward through the dual path's vjp rule: split gather
+        # + per-column contractions, column residuals materialized (raw
+        # pixels-in-sublanes layout under vw, transposed (B,P,t,C) else)
+        wc = tuple(jnp.asarray(
+            np.random.RandomState(2 + i).randn(t, C, F) * 0.05, dtype)
+            for i, t in enumerate(taps))
+
+        def dual_fwd(feat, pos, w, pd=pd, taps=taps, wc=wc):
+            (cls_cat, kpt_cat), res = pd._columns_dual_fwd(
+                feat, feat, pos, wc, wc, taps)
+            return cls_cat, kpt_cat, res[0]
+
+        fn = jax.jit(dual_fwd)
         out = fn(*feeds[0])
         jax.block_until_ready(out)
         ms = device_time_ms(fn, feeds)
-        results[f'split83_{variant}'] = round(ms, 3)
-        print(f'split83 {variant}: {ms:.3f} ms', flush=True)
+        results[f'dualfwd83_{variant}'] = round(ms, 3)
+        print(f'dualfwd83 {variant}: {ms:.3f} ms', flush=True)
 
-    for K in (9, 25, 49):
+    for K in () if args.split_only else (9, 25, 49):
         a = results[f'fused_k{K}_out_v1']
         for v in ('pair', 'vw'):
             b = results[f'fused_k{K}_out_{v}']
