@@ -223,7 +223,13 @@ def rcnn_targets_and_loss(proposals, prop_valid, roi_cls, roi_reg, batch,
         roi_reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
     l_reg = smooth_l1_loss(reg_sel, deltas, reg_w[..., None],
                            beta=1.0, avg_factor=avg)
-    aux = dict(labels=labels, pos_weights=reg_w, assigned_gt=assigned_gt)
+    # top-1 classification accuracy over the sampled RoIs, in percent —
+    # the reference logs this from the bbox-head loss
+    # (mmdet/models/losses/accuracy.py:1-31 via bbox_head.loss 'acc')
+    correct = (jnp.argmax(roi_cls, axis=-1) == labels).astype(jnp.float32)
+    acc = 100.0 * (correct * cls_w).sum() / avg
+    aux = dict(labels=labels, pos_weights=reg_w, assigned_gt=assigned_gt,
+               acc=acc)
     return l_cls, l_reg, aux
 
 
@@ -252,7 +258,8 @@ def faster_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
         sampler=getattr(cfg, 'rcnn_sampler', 'random'),
         ignore_iof_thr=iof_thr)
     total = rpn_total + l_cls + l_reg
-    logs = {**rpn_logs, 'loss_cls': l_cls, 'loss_bbox': l_reg}
+    logs = {**rpn_logs, 'loss_cls': l_cls, 'loss_bbox': l_reg,
+            'acc': aux['acc']}
     if 'grid_fused' in fwd:
         from kgdet_tpu.models.grid_head import grid_loss, grid_targets
         props = fwd['grid_props']                    # (B, K, 4)
@@ -345,12 +352,13 @@ def fast_rcnn_loss(fwd, batch, rng, cfg, valids_per_level, canvas_hw=None):
     """Fast R-CNN: RCNN terms only — proposals are precomputed inputs
     (reference detectors/fast_rcnn.py forward_train has no RPN)."""
     iof_thr = getattr(cfg.assigner, 'ignore_iof_thr', -1.0)
-    l_cls, l_reg, _ = rcnn_targets_and_loss(
+    l_cls, l_reg, aux = rcnn_targets_and_loss(
         fwd['proposals'], fwd['proposal_valid'], fwd['roi_cls'],
         fwd['roi_reg'], batch, rng, cfg.head.num_classes,
         sampler=getattr(cfg, 'rcnn_sampler', 'random'),
         ignore_iof_thr=iof_thr)
-    return l_cls + l_reg, {'loss_cls': l_cls, 'loss_bbox': l_reg}
+    return l_cls + l_reg, {'loss_cls': l_cls, 'loss_bbox': l_reg,
+                           'acc': aux['acc']}
 
 
 def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
@@ -373,7 +381,7 @@ def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
         logs['loss_semantic_seg'] = l_sem
     for i, (st, key) in enumerate(zip(stages, keys[1:])):
         iou = CASCADE_STAGE_IOUS[i]
-        l_cls, l_reg, _ = rcnn_targets_and_loss(
+        l_cls, l_reg, st_aux = rcnn_targets_and_loss(
             st['proposals'], fwd['proposal_valid'], st['roi_cls'],
             st['roi_reg'], batch, key, cfg.head.num_classes,
             pos_iou_thr=iou, neg_iou_thr=iou,
@@ -383,6 +391,7 @@ def cascade_rcnn_loss(fwd, batch, rng, cfg, valids_per_level,
         total = total + w * (l_cls + l_reg)
         logs[f'loss_cls_s{i}'] = l_cls
         logs[f'loss_bbox_s{i}'] = l_reg
+        logs[f'acc_s{i}'] = st_aux['acc']
 
     # HTC: per-stage mask losses on the shared leading proposals
     if 'mask_logits_stages' in fwd and 'gt_masks' in batch:

@@ -56,6 +56,10 @@ class TrainLogger:
                f'img/s: {imgs_per_sec:.1f}')
         keys = [k for k in sorted(avg) if k.startswith('loss_')]
         msg += ''.join(f', {k}: {avg[k]:.4f}' for k in keys)
+        # RCNN classification accuracy (reference TextLoggerHook prints the
+        # bbox head's 'acc' next to the losses)
+        msg += ''.join(f', {k}: {avg[k]:.2f}' for k in sorted(avg)
+                       if k == 'acc' or k.startswith('acc_'))
         print(msg, flush=True)
         rec = dict(mode='train', epoch=epoch + 1, iter=it + 1, lr=float(lr),
                    imgs_per_sec=float(imgs_per_sec), **avg)

@@ -45,6 +45,34 @@ def test_sample_pos_neg_quotas():
     assert int(p2.sum()) == 3
 
 
+def test_rcnn_accuracy_metric():
+    """acc = 100 * top-1 correct over the sampled RoIs (reference
+    mmdet/models/losses/accuracy.py semantics, logged by bbox_head.loss)."""
+    from kgdet_tpu.core.two_stage_loss import rcnn_targets_and_loss
+    B, R, C = 1, 8, 5   # 4 fg classes + background at 0
+    gts = jnp.asarray([[[0., 0., 10., 10.], [20., 20., 30., 30.]]])
+    labels = jnp.asarray([[2, 3]], jnp.int32)
+    mask = jnp.ones((1, 2), bool)
+    # proposals: the two GT boxes (positives) + far-away negatives
+    props = jnp.asarray([[[0., 0., 10., 10.], [20., 20., 30., 30.]]
+                         + [[40. + 10 * i, 40., 45. + 10 * i, 45.]
+                            for i in range(6)]])
+    valid = jnp.ones((B, R), bool)
+    batch = {'gt_bboxes': gts, 'gt_labels': labels, 'gt_mask': mask}
+    onehot = jax.nn.one_hot(jnp.asarray([2, 3, 0, 0, 0, 0, 0, 0]), C) * 10.0
+    roi_reg = jnp.zeros((B, R, C * 4))
+    _, _, aux = rcnn_targets_and_loss(
+        props, valid, onehot[None], roi_reg, batch, jax.random.PRNGKey(0),
+        num_classes=C, num_samples=R, pos_fraction=0.5)
+    assert float(aux['acc']) == 100.0
+    # every prediction wrong -> 0
+    wrong = jax.nn.one_hot(jnp.asarray([1, 1, 1, 1, 1, 1, 1, 1]), C) * 10.0
+    _, _, aux = rcnn_targets_and_loss(
+        props, valid, wrong[None], roi_reg, batch, jax.random.PRNGKey(0),
+        num_classes=C, num_samples=R, pos_fraction=0.5)
+    assert float(aux['acc']) == 0.0
+
+
 def test_map_rois_to_levels():
     wh = jnp.asarray([[10., 10.], [120., 120.], [500., 500.]])
     lvl = np.asarray(map_rois_to_levels(wh, 4, finest_scale=56))
@@ -85,6 +113,8 @@ def test_faster_rcnn_train_and_predict():
     params2, _, logs = step(params, stats, opt_state, batch)
     for k in ('loss_rpn_cls', 'loss_rpn_bbox', 'loss_cls', 'loss_bbox'):
         assert np.isfinite(float(logs[k])), k
+    # RCNN classification accuracy is logged (reference losses/accuracy.py)
+    assert 0.0 <= float(logs['acc']) <= 100.0
 
     predict = make_predict_fns(model, cfg, [CANVAS])[tuple(CANVAS)]
     dets = predict({'params': params2, 'batch_stats': stats}, {

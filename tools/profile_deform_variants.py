@@ -70,7 +70,7 @@ def main():
         import kgdet_tpu.ops.pallas_deform as pd
         importlib.reload(pd)
 
-        for K in () if args.split_only else (9, 25, 49):
+        for K in () if (args.split_only or args.dual_only) else (9, 25, 49):
             feeds = make_feeds(args.iters + 1, B, H, W, C, K, F, dtype)
             fn = jax.jit(pd._fused_impl)
             out = fn(*feeds[0])
@@ -118,9 +118,11 @@ def main():
         results[f'dualfwd83_{variant}'] = round(ms, 3)
         print(f'dualfwd83 {variant}: {ms:.3f} ms', flush=True)
 
-    for K in () if args.split_only else (9, 25, 49):
-        a = results[f'fused_k{K}_out_v1']
-        for v in ('pair', 'vw'):
+    ran = [v for v in args.variants.split(',')
+           if f'fused_k9_out_{v}' in results]
+    for K in () if len(ran) < 2 else (9, 25, 49):
+        a = results[f'fused_k{K}_out_{ran[0]}']
+        for v in ran[1:]:
             b = results[f'fused_k{K}_out_{v}']
             assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (K, v, a, b)
     print(json.dumps(results))
