@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -263,6 +264,25 @@ def kernel_check():
         results[f'dual.{n}'] = max(
             rel_err(x, y) for x, y in zip(jax.tree.leaves(a),
                                           jax.tree.leaves(b)))
+
+    # round-5 fused tiers: clamp the fused budget so both the channel-tiled
+    # ladder (st < S, f32 partial sums) and the hivmem full-paired kernel
+    # (raised vmem_limit_bytes) lower through Mosaic on a small f32
+    # problem; the production user is the serial stride-8 recipe
+    # (bench --serial runs it at full shape)
+    saved_fused = pd.FUSED_VMEM_BUDGET
+    try:
+        pd.FUSED_VMEM_BUDGET = 4 * 1024 * 1024   # st=1 fits, st=S doesn't
+        assert pd._fused_paired_tile(P, C // 128, 9, C, 4) == 1, \
+            'clamp no longer forces the tiled path'
+        for tier in ('tiled', 'hivmem'):
+            os.environ['KGDET_FUSED_TIER'] = tier
+            with jax.default_matmul_precision('highest'):
+                of_t = pd._fused_impl(cls_f, pos9, w9)
+            results[f'fused_{tier}.fwd'] = rel_err(of_t, ox)
+    finally:
+        pd.FUSED_VMEM_BUDGET = saved_fused
+        os.environ.pop('KGDET_FUSED_TIER', None)
 
     # transposed stem->maxpool->layer1 pipeline (ops/pallas_stem.py) vs the
     # shipped XLA path, at real layer1 channel dims; f32 is the tight gate,

@@ -433,6 +433,62 @@ TPF = 128        # pixels per fused grid step (the MXU M dimension)
 FUSED_VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _fused_paired_tile(HW, S, K, F, item):
+    """Largest lane-slice count (divisor of S) whose row-paired fused
+    footprint — paired slab + weight slice + gather scratch, plus the
+    channel-tiled path's double-buffered f32 out block when st < S — fits
+    FUSED_VMEM_BUDGET; 0 if none."""
+    st = S
+    while st:
+        extra = 0 if st == S else 2 * TPF * F * 4
+        if (2 * HW * st * LANE * item + K * st * LANE * F * item
+                + TPF * K * st * LANE * item + extra) <= FUSED_VMEM_BUDGET:
+            return st
+        st -= 1
+        while st and S % st:
+            st -= 1
+    return 0
+
+
+# High-VMEM tier (round 5): when the full-S paired footprint exceeds the
+# classic fused budget (sized against the default ~16M scoped-VMEM cap),
+# prefer ONE full-paired kernel compiled with a raised vmem_limit_bytes
+# over channel tiling — tiling multiplies the load-issue count (each
+# pixel-tap re-walks the slab once per slice) while v5e has 128M of
+# physical VMEM. KGDET_FUSED_TIER forces a tier for A/B: 'hivmem' |
+# 'tiled' | 'auto' (default: hivmem when it fits, else tiled).
+FUSED_HIVMEM_CAP = 100 * 1024 * 1024
+FUSED_HIVMEM_MARGIN = 8 * 1024 * 1024
+
+
+def _fused_paired_need(HW, S, K, F, item):
+    return 2 * HW * S * LANE * item + K * S * LANE * F * item \
+        + TPF * K * S * LANE * item
+
+
+def _fused_tier(HW, S, K, F, item):
+    """(st, hivmem) for the fused kernel: st == S, hivmem False -> classic
+    single full-paired call; st == S, hivmem True -> full-paired under a
+    raised vmem_limit_bytes; 0 < st < S -> channel-tiled; st == 0 ->
+    pairing off or nothing fits (caller goes unpaired full-S).
+    KGDET_FUSED_TIER forces a tier for A/B: 'hivmem' | 'tiled' |
+    'unpaired' | 'auto'."""
+    import os
+    tier = os.environ.get('KGDET_FUSED_TIER', 'auto')
+    if not use_paired_rows() or tier == 'unpaired':
+        return 0, False
+    st = _fused_paired_tile(HW, S, K, F, item)
+    if st == S:
+        return st, False
+    need = _fused_paired_need(HW, S, K, F, item)
+    if tier in ('auto', 'hivmem') \
+            and need + FUSED_HIVMEM_MARGIN <= FUSED_HIVMEM_CAP:
+        return S, True
+    if tier == 'hivmem':
+        return 0, False
+    return st, False
+
+
 def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
                      platform=None):
     """Fused-kernel gate: feature slab + weight + gather scratch resident."""
@@ -442,11 +498,14 @@ def use_fused_deform(HW: int, C: int, K: int, F: int, itemsize: int,
         return False
     if C % LANE or F % LANE:
         return False
-    # sized for the unpaired slab; _fused_impl falls back to the unpaired
-    # layout when the 2x row-paired slab would exceed the budget
+    # sized for the full unpaired slab — or, when that is over budget, the
+    # round-5 paired tiers: full-paired under a raised VMEM limit, or the
+    # channel-tiled path (serial stride-8 k25: the full slab blows the
+    # budget but a one-lane-slice paired slab fits)
     need = HW * C * itemsize + K * C * F * itemsize \
         + TPF * K * C * itemsize
-    if need > FUSED_VMEM_BUDGET:
+    if need > FUSED_VMEM_BUDGET \
+            and not _fused_tier(HW, C // LANE, K, F, itemsize)[0]:
         return False
     if platform is None:
         try:
@@ -559,61 +618,87 @@ def _fused_impl(feat, pos_yx, weight):
     n_pt = P_pad // TPF
     starts = starts.reshape(B, n_pt, TPF, K * 2)
     feat_r = feat.reshape(B, H * W, S, LANE)
-    # fall back to the unpaired slab when the 2x paired one would blow the
-    # fused budget together with the weight + gather scratch
-    paired = use_paired_rows() and (
-        2 * H * W * C * feat.dtype.itemsize
-        + K * C * F * feat.dtype.itemsize
-        + TPF * K * C * feat.dtype.itemsize) <= FUSED_VMEM_BUDGET
+    item = feat.dtype.itemsize
+
+    # Row-paired slab selection (round 5): when the full-S 2x paired slab
+    # would blow the fused budget (serial stride-8: HW=16128, slab alone
+    # 8.25M bf16), run it anyway under a raised vmem_limit_bytes (hivmem
+    # tier) or CHANNEL-TILE (per-slice paired slab + weight slice + gather
+    # scratch, f32 partial outputs summed in XLA) instead of falling back
+    # to the unpaired scalar walk. The vw walk then runs on the largest
+    # maps too.
+    st, hivmem = _fused_tier(H * W, S, K, F, item)
+    paired = bool(st)
+    if not paired:
+        st = S
     vw = use_vector_weights() and paired
     if vw:
         # corner order of the packed (2, 2, S, LANE) load: (tl, bl, tr, br)
         w4 = w4[..., jnp.array([0, 2, 1, 3])]
     w4 = w4.reshape(B, n_pt, TPF, K * 4)
-    if paired:
-        feat_r = pair_rows(feat_r, W)
-        feat_spec = lambda b: pl.BlockSpec(  # noqa: E731
-            (1, H * W, 2, S, LANE), lambda t, b=b: (b, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM)
-    else:
-        feat_spec = lambda b: pl.BlockSpec(  # noqa: E731
-            (1, H * W, S, LANE), lambda t, b=b: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM)
-    # (K, C, F) -> (S, K*LANE, F): lane-slice-major contraction layout
+    # (K, C, F) -> (S, K, LANE, F): lane-slice-major contraction layout
     wt = weight.reshape(K, S, LANE, F).transpose(1, 0, 2, 3) \
-        .reshape(S, K * LANE, F).astype(feat.dtype)
+        .astype(feat.dtype)
 
-    # one call per batch element, batch index closed over in the index
-    # maps: a feature slab whose block index varies along a grid dim gets
-    # double-buffered by Mosaic (2x 8.25M at serial stride-8 blows the
-    # 16M scoped-VMEM limit); an invariant block stays single-buffered
-    outs = []
-    for b in range(B):
-        kern = functools.partial(_fused_kernel, K=K, S=S, paired=paired,
+    # one call per (batch element, channel slice), batch index closed over
+    # in the index maps: a feature slab whose block index varies along a
+    # grid dim gets double-buffered by Mosaic (2x 8.25M at serial stride-8
+    # blows the 16M scoped-VMEM limit); an invariant block stays
+    # single-buffered
+    def run_batch(b, feat_slab, wt_slab, out_dtype):
+        kern = functools.partial(_fused_kernel, K=K, S=st, paired=paired,
                                  vw=vw)
-        grid = (n_pt,)
         smem_idx = lambda t, b=b: (b, t, 0, 0)  # noqa: E731
-        out_idx = lambda t: (0, t, 0)           # noqa: E731
-        scratch = pltpu.VMEM((S, TPF, K * LANE), feat.dtype)
-        outs.append(pl.pallas_call(
+        if paired:
+            feat_spec = pl.BlockSpec(
+                (1, H * W, 2, st, LANE), lambda t, b=b: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            feat_spec = pl.BlockSpec(
+                (1, H * W, st, LANE), lambda t, b=b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM)
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=_fused_paired_need(H * W, S, K, F, item)
+            + FUSED_HIVMEM_MARGIN) if hivmem else None
+        return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((1, P_pad, F), feat.dtype),
-            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((1, P_pad, F), out_dtype),
+            grid=(n_pt,),
             in_specs=[
                 pl.BlockSpec((1, 1, TPF, K * 2), smem_idx,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, TPF, K * 4), smem_idx,
                              memory_space=pltpu.VMEM if vw
                              else pltpu.SMEM),
-                feat_spec(b),
-                pl.BlockSpec((S, K * LANE, F), lambda t: (0, 0, 0),
+                feat_spec,
+                pl.BlockSpec((st, K * LANE, F), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, TPF, F), out_idx,
+            out_specs=pl.BlockSpec((1, TPF, F), lambda t: (0, t, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[scratch],
-        )(starts, w4, feat_r, wt))
-    out = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+            scratch_shapes=[pltpu.VMEM((st, TPF, K * LANE), feat.dtype)],
+            compiler_params=params,
+        )(starts, w4, feat_slab, wt_slab)
+
+    if st == S:
+        feat_in = pair_rows(feat_r, W) if paired else feat_r
+        wt_in = wt.reshape(S, K * LANE, F)
+        outs = [run_batch(b, feat_in, wt_in, feat.dtype) for b in range(B)]
+        out = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+    else:
+        n_sl = S // st
+        slabs = [pair_rows(feat_r[:, :, i * st:(i + 1) * st], W)
+                 for i in range(n_sl)]
+        wsls = [wt[i * st:(i + 1) * st].reshape(st, K * LANE, F)
+                for i in range(n_sl)]
+        outs = []
+        for b in range(B):
+            acc = run_batch(b, slabs[0], wsls[0], jnp.float32)
+            for i in range(1, n_sl):
+                acc = acc + run_batch(b, slabs[i], wsls[i], jnp.float32)
+            outs.append(acc)
+        out = (jnp.concatenate(outs, axis=0) if B > 1
+               else outs[0]).astype(feat.dtype)
     return out[:, :P] if P_pad != P else out
 
 
@@ -773,6 +858,20 @@ def use_pallas_split(H, W, C, itemsize):
         return False
 
 
+def _axis_weights_bwd(c0c, c0i, frac):
+    """Per-slot lerp weight and its exact coordinate derivative ({-1, 0, +1}
+    by the clamp-match cases — the CUDA col2im_coord boundary semantics,
+    deform_conv_cuda_kernel.cu:145-188)."""
+    ws, ds = [], []
+    for slot in (0, 1):
+        cc = c0c + slot
+        ws.append(jnp.where(cc == c0i, 1.0 - frac,
+                            jnp.where(cc == c0i + 1, frac, 0.0)))
+        ds.append(jnp.where(cc == c0i, -1.0,
+                            jnp.where(cc == c0i + 1, 1.0, 0.0)))
+    return ws, ds
+
+
 def _prep_indices_bwd(pos_yx, H, W):
     """Row starts + per-axis weights and coordinate derivatives.
 
@@ -795,23 +894,44 @@ def _prep_indices_bwd(pos_yx, H, W):
     y0c = jnp.clip(y0i, 0, max(H - 2, 0))
     x0c = jnp.clip(x0i, 0, max(W - 2, 0))
 
-    def axis(c0c, c0i, frac):
-        ws, ds = [], []
-        for slot in (0, 1):
-            cc = c0c + slot
-            ws.append(jnp.where(cc == c0i, 1.0 - frac,
-                                jnp.where(cc == c0i + 1, frac, 0.0)))
-            ds.append(jnp.where(cc == c0i, -1.0,
-                                jnp.where(cc == c0i + 1, 1.0, 0.0)))
-        return ws, ds
-
-    wy, dwy = axis(y0c, y0i, dy)
-    wx, dwx = axis(x0c, x0i, dx)
+    wy, dwy = _axis_weights_bwd(y0c, y0i, dy)
+    wx, dwx = _axis_weights_bwd(x0c, x0i, dx)
     wd8 = jnp.stack([wy[0], wy[1], wx[0], wx[1],
                      dwy[0], dwy[1], dwx[0], dwx[1]],
                     axis=-1).astype(jnp.float32)
     starts = jnp.stack([y0c * W + x0c, (y0c + 1) * W + x0c], axis=-1)
     return starts, wd8
+
+
+def _prep_indices_bwd_vw(pos_yx, H, W):
+    """Backward prep for the vector-weight walk: per-corner coefficient
+    triplets in the PAIRED load order (tl, bl, tr, br).
+
+    Returns starts (B, P, K, 2) int32 and wd12 (B, P, K, 12) f32 laid out
+    [w4 | u4 | v4]: w4 the feat-grad lerp weights (w_c so that
+    gfeat[corner_c] += w_c * g), u4 the d(sample)/dy per-corner coefs,
+    v4 the d(sample)/dx coefs — so gy = sum_c u_c * <g, corner_c> and
+    gx = sum_c v_c * <g, corner_c>, with out-of-bounds corners zeroed by
+    the same clamp-match cases as _prep_indices_bwd."""
+    pos_dtype = jnp.promote_types(pos_yx.dtype, jnp.float32)
+    y = pos_yx[..., 0].astype(pos_dtype)
+    x = pos_yx[..., 1].astype(pos_dtype)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y0c = jnp.clip(y0i, 0, max(H - 2, 0))
+    x0c = jnp.clip(x0i, 0, max(W - 2, 0))
+    wy, dwy = _axis_weights_bwd(y0c, y0i, y - y0)
+    wx, dwx = _axis_weights_bwd(x0c, x0i, x - x0)
+    # paired corner order: (tl, bl, tr, br) = (y0x0, y1x0, y0x1, y1x1)
+    wd12 = jnp.stack([
+        wy[0] * wx[0], wy[1] * wx[0], wy[0] * wx[1], wy[1] * wx[1],
+        dwy[0] * wx[0], dwy[1] * wx[0], dwy[0] * wx[1], dwy[1] * wx[1],
+        wy[0] * dwx[0], wy[1] * dwx[0], wy[0] * dwx[1], wy[1] * dwx[1],
+    ], axis=-1).astype(jnp.float32)
+    starts = jnp.stack([y0c * W + x0c, (y0c + 1) * W + x0c], axis=-1)
+    return starts, wd12
 
 
 def _bwd_kernel(starts_ref, wd_ref, g_ref, feat_ref, gfeat_ref, gpos_ref,
@@ -946,20 +1066,251 @@ def _bwd_kernel_v2(starts_ref, wd_ref, g_ref, feat_ref, gfeat_ref, gpos_ref,
     gpos_ref[0, 0, 1] = gx
 
 
+def _bwd_kernel_vw(starts_ref, w4_ref, wd_ref, g_ref, feat_ref, gfeat_ref,
+                   gpos_ref, scratch_ref, *, K, st, paired_gfeat):
+    """Backward step with the forward's round-4 treatment (round-5): the
+    feature slab is ROW-PAIRED so one ds(r0, 2) load fetches all four
+    bilinear corners, and the position-gradient walk runs at full vreg
+    width over sublane groups of 8 pixels with VECTOR weights — per-corner
+    coefficient triplets (w, u, v) arrive as a VMEM (8, 12) slice per
+    (group, tap) instead of 8 scalar SMEM reads per (pixel, tap), and
+    gy/gx product tiles are four full-width segment multiplies against
+    (8, 1) weight columns (gy = sum_c u_c * <g, corner_c>).
+
+    The feature-gradient scatter stays per-pixel (rows differ per pixel)
+    but with paired_gfeat accumulates into a ROW-PAIRED gradient slab —
+    ONE (2, 2, st, LANE) read-modify-write per (pixel, tap) instead of
+    two — unpaired in XLA afterwards (real[r] = out[r, 0] + out[r-W, 1]).
+    Scatter weights come from a small SMEM w4 block (scalar-pipeline
+    native). The batched end-of-step lane reduction is v2's. Runs on a
+    (n_pt,) grid, one pallas_call per batch element (b closed into the
+    index maps — a grid-b-varying slab would be double-buffered).
+    """
+    pt = pl.program_id(0)
+
+    @pl.when(pt == 0)
+    def _():
+        gfeat_ref[...] = jnp.zeros(gfeat_ref.shape, gfeat_ref.dtype)
+
+    SL = st * LANE
+
+    def body(pg, _):
+        base = pg * 8
+        for k in range(K):
+            # batched position-gradient walk over the 8-pixel group
+            cs = []
+            for pr in range(8):
+                r0 = starts_ref[0, 0, base + pr, 2 * k]
+                cs.append(feat_ref[0, pl.ds(r0, 2)])     # (2, 2, st, LANE)
+            c = jnp.stack(cs).reshape(8, 4 * SL).astype(jnp.float32)
+            g8 = g_ref[0, pl.ds(base, 8), k].astype(jnp.float32) \
+                .reshape(8, SL)
+            wt = wd_ref[0, 0, pl.ds(base, 8), 12 * k:12 * (k + 1)]  # (8,12)
+            cy = (c[:, :SL] * wt[:, 4:5]
+                  + c[:, SL:2 * SL] * wt[:, 5:6]
+                  + c[:, 2 * SL:3 * SL] * wt[:, 6:7]
+                  + c[:, 3 * SL:] * wt[:, 7:8])
+            cx = (c[:, :SL] * wt[:, 8:9]
+                  + c[:, SL:2 * SL] * wt[:, 9:10]
+                  + c[:, 2 * SL:3 * SL] * wt[:, 10:11]
+                  + c[:, 3 * SL:] * wt[:, 11:12])
+            ty = g8 * cy
+            tx = g8 * cx
+            for s in range(st):
+                scratch_ref[s, pl.ds(base, 8),
+                            pl.ds(k * LANE, LANE)] = \
+                    ty[:, s * LANE:(s + 1) * LANE]
+                scratch_ref[st + s, pl.ds(base, 8),
+                            pl.ds(k * LANE, LANE)] = \
+                    tx[:, s * LANE:(s + 1) * LANE]
+            # feature-gradient scatter (per pixel: target rows differ)
+            for pr in range(8):
+                p = base + pr
+                r0 = starts_ref[0, 0, p, 2 * k]
+                w_tl = w4_ref[0, 0, p, 4 * k]
+                w_bl = w4_ref[0, 0, p, 4 * k + 1]
+                w_tr = w4_ref[0, 0, p, 4 * k + 2]
+                w_br = w4_ref[0, 0, p, 4 * k + 3]
+                gp = g_ref[0, p, k].astype(jnp.float32)  # (st, LANE)
+                if paired_gfeat:
+                    blk = gfeat_ref[0, pl.ds(r0, 2)]     # (2, 2, st, LANE)
+                    add = jnp.stack([jnp.stack([gp * w_tl, gp * w_bl]),
+                                     jnp.stack([gp * w_tr, gp * w_br])])
+                    gfeat_ref[0, pl.ds(r0, 2)] = blk + add
+                else:
+                    r1 = starts_ref[0, 0, p, 2 * k + 1]
+                    gt = gfeat_ref[0, pl.ds(r0, 2)]
+                    gfeat_ref[0, pl.ds(r0, 2)] = gt + jnp.stack(
+                        [gp * w_tl, gp * w_tr])
+                    gb = gfeat_ref[0, pl.ds(r1, 2)]
+                    gfeat_ref[0, pl.ds(r1, 2)] = gb + jnp.stack(
+                        [gp * w_bl, gp * w_br])
+        return 0
+
+    lax.fori_loop(0, TP // 8, body, 0)
+    accy = scratch_ref[0]                                # (TP, K*LANE)
+    accx = scratch_ref[st]
+    for s in range(1, st):
+        accy = accy + scratch_ref[s]
+        accx = accx + scratch_ref[st + s]
+    gpos_ref[0, 0, 0] = accy.reshape(TP, K, LANE).sum(axis=-1)
+    gpos_ref[0, 0, 1] = accx.reshape(TP, K, LANE).sum(axis=-1)
+
+
+# scoped-VMEM cap for the vw backward footprint; above it the kernel first
+# drops the paired gradient slab, then shrinks the channel tile, then falls
+# back to v2 entirely (the serial stride-8 shapes: the paired feature slab
+# alone exceeds any budget at st=1)
+VW_BWD_CAP = 14 * 1024 * 1024 + 512 * 1024
+
+
+def _vw_bwd_bytes(HW, st, K, feat_item, g_item, paired_gfeat):
+    return (2 * HW * st * LANE * feat_item                     # paired slab
+            + (2 if paired_gfeat else 1) * HW * st * LANE * 4  # gfeat f32
+            + 2 * TP * K * st * LANE * g_item                  # g block x2
+            + 2 * st * TP * K * LANE * 4                       # scratch
+            + 2 * TP * K * 12 * 4)                             # wd12 x2
+
+
+def _deform_bwd_vw(feat, pos_yx, g):
+    """vw-walk backward; returns None when even the smallest channel tile
+    cannot hold the paired slab (caller falls back to the v2 kernel)."""
+    B, H, W, C = feat.shape
+    _, P, K, _ = pos_yx.shape
+    S = C // LANE
+    st = slice_tiles(H * W, S, feat.dtype.itemsize)
+    if st is None:
+        return None
+    paired_gfeat = True
+
+    def fits(s, pg):
+        return _vw_bwd_bytes(H * W, s, K, feat.dtype.itemsize,
+                             g.dtype.itemsize, pg) <= VW_BWD_CAP
+
+    while st and not fits(st, paired_gfeat):
+        if paired_gfeat and fits(st, False):
+            paired_gfeat = False
+            break
+        st -= 1
+        while st and S % st:
+            st -= 1
+    if not st:
+        return None
+    n_s = S // st
+
+    starts, wd12 = _prep_indices_bwd_vw(pos_yx, H, W)
+    P_pad = -(-P // TP) * TP
+    if P_pad != P:
+        pad = [(0, 0), (0, P_pad - P), (0, 0), (0, 0)]
+        starts = jnp.pad(starts, pad)
+        wd12 = jnp.pad(wd12, pad)
+        g = jnp.pad(g, pad)
+    n_pt = P_pad // TP
+    starts_k = starts.reshape(B, n_pt, TP, K * 2)
+    w4_k = wd12[..., :4].reshape(B, n_pt, TP, K * 4)
+    wd_k = wd12.reshape(B, n_pt, TP, K * 12)
+    feat_r = feat.reshape(B, H * W, S, LANE)
+    g_r = g.reshape(B, P_pad, K, S, LANE)
+
+    def run_slice(feat_slab, g_slab):
+        # one call per batch element, b closed over in the index maps: a
+        # grid-b-varying slab/gradient-slab block would be double-buffered
+        # by Mosaic (the f32 83-tap parity shape then blows the 16M scoped
+        # limit); invariant blocks stay single-buffered (see _fused_impl)
+        gf_shape = (1, H * W, 2, st, LANE) if paired_gfeat \
+            else (1, H * W, st, LANE)
+        gf_spec = pl.BlockSpec(
+            gf_shape,
+            (lambda t: (0, 0, 0, 0, 0)) if paired_gfeat
+            else (lambda t: (0, 0, 0, 0)),
+            memory_space=pltpu.VMEM)
+        paired_slab = pair_rows(feat_slab, W)
+        gfs, gps = [], []
+        for b in range(B):
+            smem_idx = lambda t, b=b: (b, t, 0, 0)  # noqa: E731
+            gf, gp = pl.pallas_call(
+                functools.partial(_bwd_kernel_vw, K=K, st=st,
+                                  paired_gfeat=paired_gfeat),
+                grid=(n_pt,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, TP, K * 2), smem_idx,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, TP, K * 4), smem_idx,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, TP, K * 12), smem_idx,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TP, K, st, LANE),
+                                 lambda t, b=b: (b, t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, H * W, 2, st, LANE),
+                                 lambda t, b=b: (b, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=(
+                    jax.ShapeDtypeStruct(gf_shape, jnp.float32),
+                    jax.ShapeDtypeStruct((1, n_pt, 2, TP, K), jnp.float32),
+                ),
+                out_specs=(
+                    gf_spec,
+                    pl.BlockSpec((1, 1, 2, TP, K),
+                                 lambda t: (0, t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2 * st, TP, K * LANE), jnp.float32)],
+            )(starts_k, w4_k, wd_k, g_slab, paired_slab)
+            gfs.append(gf)
+            gps.append(gp)
+        gf = jnp.concatenate(gfs, axis=0) if B > 1 else gfs[0]
+        gp = jnp.concatenate(gps, axis=0) if B > 1 else gps[0]
+        if paired_gfeat:
+            # real[r] = out[r, 0] + out[r - W, 1]; rows past HW - W of the
+            # pair slot are provably zero (y0c <= H-2), so the shift drops
+            # nothing
+            gf = gf[:, :, 0] + jnp.concatenate(
+                [jnp.zeros_like(gf[:, :W, 1]), gf[:, :-W, 1]], axis=1)
+        gp = gp.transpose(0, 1, 3, 4, 2).reshape(B, n_pt, TP, K * 2)
+        return gf, gp
+
+    if n_s == 1:
+        gfeat, gpos = run_slice(feat_r, g_r)
+    else:
+        gfeats, gposs = [], []
+        for s in range(n_s):
+            gf, gp = run_slice(feat_r[:, :, s * st:(s + 1) * st],
+                               g_r[:, :, :, s * st:(s + 1) * st])
+            gfeats.append(gf)
+            gposs.append(gp)
+        gfeat = jnp.concatenate(gfeats, axis=2)
+        gpos = sum(gposs)
+
+    grad_feat = gfeat.reshape(B, H, W, C).astype(feat.dtype)
+    grad_pos = gpos.reshape(B, P_pad, K, 2)[:, :P].astype(pos_yx.dtype)
+    return grad_feat, grad_pos
+
+
 def _deform_bwd_pallas(feat, pos_yx, g):
     """Pallas backward of bilinear sampling at absolute positions.
 
     feat: (B, H, W, C); pos_yx: (B, P, K, 2); g: (B, P, K, C) cotangent.
     Returns (grad_feat, grad_pos). Channel-tiled like the forward.
+    KGDET_DEFORM_BWD selects the kernel generation: 'vw' (default; falls
+    back to v2 when the paired slab cannot fit), 'v2', 'v1'.
     """
+    import os
+    mode = os.environ.get('KGDET_DEFORM_BWD', 'vw')
+    if mode == 'vw':
+        out = _deform_bwd_vw(feat, pos_yx, g)
+        if out is not None:
+            return out
+
     B, H, W, C = feat.shape
     _, P, K, _ = pos_yx.shape
     S = C // LANE
     st = slice_tiles(H * W, S, feat.dtype.itemsize)
     assert st is not None, feat.shape
 
-    import os
-    use_v1 = os.environ.get('KGDET_DEFORM_BWD') == 'v1'
+    use_v1 = mode == 'v1'
     if not use_v1:
         # v2 keeps more scoped VMEM resident than the v1 budget accounts
         # for: the position-grad scratch (2*st, TP, K*LANE) f32 and the

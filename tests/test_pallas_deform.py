@@ -58,7 +58,9 @@ def test_pallas_padding_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-def test_hybrid_gradient_matches_xla():
+@pytest.mark.parametrize('bwd', ['v1', 'v2', 'vw'])
+def test_hybrid_gradient_matches_xla(monkeypatch, bwd):
+    monkeypatch.setenv('KGDET_DEFORM_BWD', bwd)
     rng = np.random.RandomState(3)
     B, H, W, C, K, P = 1, 5, 6, 128, 2, 4
     feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
@@ -184,8 +186,10 @@ def test_tiled_gradient_matches_xla(monkeypatch):
                                rtol=1e-4, atol=1e-3)
 
 
-def test_bwd_boundary_positions_match_xla():
+@pytest.mark.parametrize('bwd', ['v1', 'v2', 'vw'])
+def test_bwd_boundary_positions_match_xla(monkeypatch, bwd):
     """Positions straddling/clamped at borders: both grads agree."""
+    monkeypatch.setenv('KGDET_DEFORM_BWD', bwd)
     rng = np.random.RandomState(9)
     B, H, W, C, K, P = 1, 5, 5, 128, 2, 6
     feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
@@ -209,6 +213,54 @@ def test_bwd_boundary_positions_match_xla():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
                                atol=1e-4)
+
+@pytest.mark.parametrize('cap_kb', [
+    10 ** 6,   # everything fits: st=2, paired gfeat
+    590,       # paired gfeat over cap at st=2 -> unpaired scatter
+    310,       # forces st=1 channel tiling, paired gfeat
+    295,       # st=1 AND unpaired scatter
+])
+def test_bwd_vw_budget_ladder_matches_xla(monkeypatch, cap_kb):
+    """The vw backward's fallback ladder (paired gfeat -> unpaired ->
+    channel-tiled) stays exact at every rung."""
+    monkeypatch.setenv('KGDET_DEFORM_BWD', 'vw')
+    monkeypatch.setattr(pd, 'VW_BWD_CAP', cap_kb * 1024)
+    rng = np.random.RandomState(12)
+    B, H, W, C, K, P = 1, 5, 6, 256, 5, pd.TP + 3
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
+
+    def loss_h(f, p):
+        return jnp.sum(pd.deform_sample_hybrid(f, p) ** 2)
+
+    def loss_x(f, p):
+        return jnp.sum(bilinear_gather(f, p) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(feat, pos)
+    gx = jax.grad(loss_x, argnums=(0, 1))(feat, pos)
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gx[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_bwd_vw_falls_back_to_v2_when_slab_too_big(monkeypatch):
+    monkeypatch.setenv('KGDET_DEFORM_BWD', 'vw')
+    monkeypatch.setattr(pd, 'VW_BWD_CAP', 0)   # nothing fits
+    assert pd._deform_bwd_vw(
+        jnp.zeros((1, 4, 5, 128)), jnp.zeros((1, 3, 2, 2)),
+        jnp.zeros((1, 3, 2, 128))) is None
+    # and the dispatcher still produces the exact gradient via v2
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.randn(1, 4, 5, 128).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0, 3, (1, 3, 2, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 3, 2, 128).astype(np.float32))
+    gf, gp = pd._deform_bwd_pallas(feat, pos, g)
+    _, vjp = jax.vjp(bilinear_gather, feat, pos)
+    xf, xp = vjp(g)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(xf), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(xp), atol=1e-4)
+
 
 def _fused_xla(feat, pos, w):
     cols = bilinear_gather(feat, pos)
@@ -245,6 +297,66 @@ def test_fused_conv_vw_variant_matches_xla(monkeypatch, C):
     assert got.shape == (B, P, F)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize('budget_kb,tier', [
+    (2048, 'auto'),    # full paired slab fits (classic single-call path)
+    (700, 'tiled'),    # st=1 channel tiling: paired + vw, f32 partials
+    (700, 'auto'),     # hivmem: full-paired under raised vmem_limit_bytes
+    (500, 'tiled'),    # nothing paired fits -> unpaired full-S fallback
+    (500, 'hivmem'),   # forced hivmem still full-paired
+])
+def test_fused_conv_channel_tiled_matches_xla(monkeypatch, budget_kb, tier):
+    """The round-5 fused tier ladder (full paired -> hivmem ->
+    channel-tiled -> unpaired) stays exact at every rung."""
+    monkeypatch.setenv('KGDET_DEFORM_FWD', 'vw')
+    monkeypatch.setenv('KGDET_FUSED_TIER', tier)
+    monkeypatch.setattr(pd, 'FUSED_VMEM_BUDGET', budget_kb * 1024)
+    rng = np.random.RandomState(11)
+    B, H, W, C, K, F, P = 2, 5, 6, 256, 4, 128, pd.TPF + 9
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 6, (B, P, K, 2)).astype(np.float32))
+    w = jnp.asarray((rng.randn(K, C, F) * 0.1).astype(np.float32))
+    got = pd._fused_impl(feat, pos, w)
+    want = _fused_xla(feat, pos, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fused_gate_accepts_tiled_big_map_shape(monkeypatch):
+    """Stride-8 25-tap column (HW=16128, C=F=256, bf16): the full unpaired
+    footprint exceeds the budget but both round-5 tiers fit (st=1 tiled;
+    full-paired under hivmem), so the gate engages the fused path there."""
+    HW, C, K, F = 16128, 256, 25, 256
+    assert HW * C * 2 + K * C * F * 2 + pd.TPF * K * C * 2 \
+        > pd.FUSED_VMEM_BUDGET
+    assert pd._fused_paired_tile(HW, C // pd.LANE, K, F, 2) == 1
+    for tier, want in [('tiled', (1, False)),
+                       ('hivmem', (C // pd.LANE, True)),
+                       ('auto', (C // pd.LANE, True))]:
+        monkeypatch.setenv('KGDET_FUSED_TIER', tier)
+        assert pd._fused_tier(HW, C // pd.LANE, K, F, 2) == want, tier
+        assert pd.use_fused_deform(HW, C, K, F, 2, platform='tpu'), tier
+
+
+def test_fused_tier_serial_stride8_pts_call(monkeypatch):
+    """The serial head's stride-8 pts call (HW=16128, C=256, K=9, F=512,
+    bf16) passed the classic gate UNPAIRED in round 4 (paired 2x slab
+    ~20M > budget); round-5 'auto' upgrades it to full-paired hivmem."""
+    HW, C, K, F = 16128, 256, 9, 512
+    S = C // pd.LANE
+    assert HW * C * 2 + K * C * F * 2 + pd.TPF * K * C * 2 \
+        <= pd.FUSED_VMEM_BUDGET           # classic unpaired gate passes
+    monkeypatch.setenv('KGDET_FUSED_TIER', 'auto')
+    assert pd._fused_tier(HW, S, K, F, 2) == (S, True)
+    monkeypatch.setenv('KGDET_FUSED_TIER', 'unpaired')   # round-4 layout
+    assert pd._fused_tier(HW, S, K, F, 2) == (0, False)
+    assert pd.use_fused_deform(HW, C, K, F, 2, platform='tpu')
+
+
+def test_fused_gate_rejects_tiled_shape_without_pairing(monkeypatch):
+    monkeypatch.setenv('KGDET_DEFORM_FWD', 'v1')   # pairing off
+    assert not pd.use_fused_deform(16128, 256, 25, 256, 2, platform='tpu')
 
 
 def test_fused_conv_gradients_match():
