@@ -480,7 +480,10 @@ def _fused_tier(HW, S, K, F, item):
     st = _fused_paired_tile(HW, S, K, F, item)
     if st == S:
         return st, False
-    need = _fused_paired_need(HW, S, K, F, item)
+    # the kernel's whole OUTPUT array is stack-allocated in scoped VMEM by
+    # XLA (measured on chip: f32[1,16128,256] out alone blew the 16M
+    # default), so feasibility must count it alongside the resident set
+    need = _fused_paired_need(HW, S, K, F, item) + HW * F * 4
     if tier in ('auto', 'hivmem') \
             and need + FUSED_HIVMEM_MARGIN <= FUSED_HIVMEM_CAP:
         return S, True
@@ -657,9 +660,20 @@ def _fused_impl(feat, pos_yx, weight):
             feat_spec = pl.BlockSpec(
                 (1, H * W, st, LANE), lambda t, b=b: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM)
-        params = pltpu.CompilerParams(
-            vmem_limit_bytes=_fused_paired_need(H * W, S, K, F, item)
-            + FUSED_HIVMEM_MARGIN) if hivmem else None
+        # non-classic paired tiers get an explicit scoped-VMEM limit that
+        # covers the resident set PLUS the full output array — XLA stack-
+        # allocates the pallas output in scoped VMEM (measured on chip:
+        # the tiled path's f32[1,16128,256] partial output alone exceeded
+        # the 16M default limit by 416K)
+        params = None
+        if hivmem or (paired and st < S):
+            out_item = 4 if out_dtype == jnp.float32 \
+                else feat.dtype.itemsize
+            limit = (2 * H * W * st * LANE * item
+                     + K * st * LANE * F * item
+                     + TPF * K * st * LANE * item
+                     + P_pad * F * out_item + FUSED_HIVMEM_MARGIN)
+            params = pltpu.CompilerParams(vmem_limit_bytes=limit)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((1, P_pad, F), out_dtype),

@@ -16,6 +16,7 @@ Usage: python tools/profile_fused_tiers.py [--iters 6] [--batch 4]
 from __future__ import annotations
 
 import argparse
+import importlib
 import json
 import os
 import sys
@@ -38,7 +39,7 @@ def main():
 
     from trace_piece import device_time_ms
 
-    from kgdet_tpu.ops.pallas_deform import _fused_impl
+    import kgdet_tpu.ops.pallas_deform as pd
 
     dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
@@ -65,7 +66,10 @@ def main():
         sums = {}
         for tier in args.tiers.split(','):
             os.environ['KGDET_FUSED_TIER'] = tier
-            fn = jax.jit(_fused_impl)
+            # reload so pjit's global trace cache (keyed on the function
+            # object) cannot hand back the previous tier's program
+            importlib.reload(pd)
+            fn = jax.jit(pd._fused_impl)
             out = fn(*feeds[0])
             jax.block_until_ready(out)
             sums[tier] = float(jnp.sum(jnp.abs(out.astype(jnp.float32))))
