@@ -36,12 +36,20 @@ def _scalarize(tree):
 def timed(fn, feeds, iters):
     """One distinct feed per timed call (the pieces are pure functions of
     constant params, so a repeated feed is an identical call the tunnel may
-    memoize); warmup on the extra trailing feed, block on every output."""
+    memoize); warmup on the extra trailing feed. The timed region ends on
+    a value PULL of the sum of all iteration scalars — block_until_ready
+    through the tunnel can be satisfied without real execution (the
+    BENCH_r03 artifact), a device_get cannot."""
     iters = min(iters, len(feeds) - 1)
     jax.block_until_ready(fn(*feeds[-1]))
     t0 = time.perf_counter()
     outs = [fn(*feeds[i]) for i in range(iters)]
-    jax.block_until_ready(outs)
+    tot = None
+    for o in outs:
+        for leaf in jax.tree_util.tree_leaves(o):
+            s = jnp.sum(leaf.astype(jnp.float32))
+            tot = s if tot is None else tot + s
+    float(jax.device_get(tot))
     return (time.perf_counter() - t0) / iters
 
 

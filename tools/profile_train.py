@@ -88,8 +88,11 @@ def main(batch=8):
         return loss_fn(p, s, batch_)[0]
 
     def grad_piece(p, s, batch_):
+        # scalar return: loss + grad checksum, so the timed region can end
+        # on ONE device_get that provably depends on the whole backward
         (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, s, batch_)
-        return l, g
+        return l + sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree_util.tree_leaves(g))
 
     pieces = {
         'fwd': jax.jit(fwd_piece),
@@ -97,12 +100,24 @@ def main(batch=8):
         'value_and_grad': jax.jit(grad_piece),
     }
     report = {}
+
+    def timed_scalar(calls):
+        """block_until_ready through the tunnel can be satisfied without
+        real execution (the BENCH_r03 artifact), so the timed region ends
+        on a value PULL of the sum of every iteration's scalar — it cannot
+        resolve until all the real work exists on device."""
+        t0 = time.perf_counter()
+        outs = calls()
+        tot = outs[0]
+        for o in outs[1:]:
+            tot = tot + o
+        float(jax.device_get(tot))
+        return (time.perf_counter() - t0) / len(outs) * 1e3
+
     for name, fn in pieces.items():
         jax.block_until_ready(fn(params, stats, feeds[n_iters]))
-        t0 = time.perf_counter()
-        outs = [fn(params, stats, feeds[i]) for i in range(n_iters)]
-        jax.block_until_ready(outs)
-        ms = (time.perf_counter() - t0) / n_iters * 1e3
+        ms = timed_scalar(lambda fn=fn: [
+            fn(params, stats, feeds[i]) for i in range(n_iters)])
         report[name] = round(ms, 2)
         print(json.dumps({'piece': name, 'ms': report[name],
                           'batch': batch}), flush=True)
@@ -111,11 +126,9 @@ def main(batch=8):
     # opt_state stay constant across iters, but the loss logs depend on the
     # distinct feeds so every call is unique)
     jax.block_until_ready(step(params, stats, opt_state, feeds[n_iters]))
-    t0 = time.perf_counter()
-    outs = [step(params, stats, opt_state, feeds[i])[2]['loss']
-            for i in range(n_iters)]
-    jax.block_until_ready(outs)
-    ms = (time.perf_counter() - t0) / n_iters * 1e3
+    ms = timed_scalar(lambda: [
+        step(params, stats, opt_state, feeds[i])[2]['loss']
+        for i in range(n_iters)])
     report['full_step'] = round(ms, 2)
     print(json.dumps({'piece': 'full_step', 'ms': report['full_step'],
                       'batch': batch}), flush=True)
