@@ -25,12 +25,22 @@ class SyntheticFullsizeDataset:
     """Fixed-canvas synthetic samples matching DeepFashion2Dataset's train
     output contract (see data/dataset.py prepare_train)."""
 
-    def __init__(self, n, canvas=(768, 1344), G=16, K=294, max_gts=32):
+    def __init__(self, n, canvas=(768, 1344), G=16, K=294, max_gts=32,
+                 uint8=True):
         self.n = n
         self.canvas = canvas
         self.flags = np.zeros(n, np.int64)          # one aspect-ratio group
         rng = np.random.RandomState(0)
-        self.base = rng.randn(canvas[0], canvas[1], 3).astype(np.float32)
+        # the SHIPPED data path (cfg.device_normalize=True) emits raw uint8
+        # BGR and normalizes in-graph (data/dataset.py::_finalize_image);
+        # emitting f32 here would silently measure the 4x-bigger transfer
+        self.uint8 = uint8
+        if uint8:
+            self.base = rng.randint(
+                0, 256, (canvas[0], canvas[1], 3)).astype(np.uint8)
+        else:
+            self.base = rng.randn(canvas[0], canvas[1], 3) \
+                .astype(np.float32)
         self.G, self.K, self.max_gts = G, K, max_gts
 
     def __len__(self):
@@ -52,7 +62,10 @@ class SyntheticFullsizeDataset:
         mask[:self.G] = True
         # cheap per-sample variation so no two device feeds are identical
         # (guards against relay memoization) without a 12MB randn per sample
-        img = self.base * np.float32(1.0 + (idx % 997) * 1e-4)
+        if self.uint8:
+            img = np.roll(self.base, idx % 64, axis=1)
+        else:
+            img = self.base * np.float32(1.0 + (idx % 997) * 1e-4)
         return {
             'image': img,
             'valid_hw': np.asarray([750, 1333], np.int32),
@@ -69,6 +82,9 @@ def main():
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--interval', type=int, default=4)
     ap.add_argument('--work-dir', default='/tmp/bench_runner')
+    ap.add_argument('--f32', action='store_true',
+                    help='measure the host-normalized f32 transfer path '
+                         'instead of the shipped uint8 one')
     args = ap.parse_args()
 
     import dataclasses
@@ -80,7 +96,8 @@ def main():
     cfg = dataclasses.replace(
         cfg, train_data=dataclasses.replace(cfg.train_data,
                                             batch_size=args.batch))
-    ds = SyntheticFullsizeDataset(args.steps * args.batch)
+    ds = SyntheticFullsizeDataset(args.steps * args.batch,
+                                  uint8=not args.f32)
     runner = Runner(cfg, work_dir=args.work_dir,
                     log_interval=args.interval)
     runner.setup(train_dataset=ds)
@@ -94,7 +111,8 @@ def main():
                 ips.append(rec['imgs_per_sec'])
     steady = float(np.median(ips[1:])) if len(ips) > 1 else float('nan')
     print(json.dumps({
-        'metric': f'runner_train_throughput_768x1344_b{args.batch}',
+        'metric': f'runner_train_throughput_768x1344_b{args.batch}'
+                  f'_{"f32" if args.f32 else "uint8"}',
         'value': round(steady, 2),
         'unit': 'images/sec/chip',
         'intervals': [round(v, 2) for v in ips],
