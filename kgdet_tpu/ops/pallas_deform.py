@@ -1175,15 +1175,24 @@ def _bwd_kernel_vw(starts_ref, w4_ref, wd_ref, g_ref, feat_ref, gfeat_ref,
 # drops the paired gradient slab, then shrinks the channel tile, then falls
 # back to v2 entirely (the serial stride-8 shapes: the paired feature slab
 # alone exceeds any budget at st=1)
-VW_BWD_CAP = 14 * 1024 * 1024 + 512 * 1024
+VW_BWD_CAP = 40 * 1024 * 1024
+VW_BWD_MARGIN = 8 * 1024 * 1024
 
 
 def _vw_bwd_bytes(HW, st, K, feat_item, g_item, paired_gfeat):
+    """Scoped-VMEM footprint of one vw-backward call. Counts the gradient
+    OUTPUT arrays twice (once as the whole-array kernel block, once for
+    XLA's stack allocation of the custom-call outputs — measured on chip:
+    the production 83-tap shape exceeded the plain-sum estimate by ~2M).
+    The matching pallas_call passes vmem_limit_bytes = this + margin, so
+    the cap is a resident-set policy knob, not the hardware 16M default."""
+    gfeat = (2 if paired_gfeat else 1) * HW * st * LANE * 4
+    gpos = 2 * HW * K * 4          # (1, n_pt, 2, TP, K) whole array, P~HW
     return (2 * HW * st * LANE * feat_item                     # paired slab
-            + (2 if paired_gfeat else 1) * HW * st * LANE * 4  # gfeat f32
+            + 2 * gfeat + gpos                                 # block+stack
             + 2 * TP * K * st * LANE * g_item                  # g block x2
             + 2 * st * TP * K * LANE * 4                       # scratch
-            + 2 * TP * K * 12 * 4)                             # wd12 x2
+            + 3 * TP * K * 12 * 4)                             # wd12/w4/starts
 
 
 def _deform_bwd_vw(feat, pos_yx, g):
@@ -1272,6 +1281,10 @@ def _deform_bwd_vw(feat, pos_yx, g):
                 ),
                 scratch_shapes=[
                     pltpu.VMEM((2 * st, TP, K * LANE), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_vw_bwd_bytes(
+                        H * W, st, K, feat.dtype.itemsize,
+                        g.dtype.itemsize, paired_gfeat) + VW_BWD_MARGIN),
             )(starts_k, w4_k, wd_k, g_slab, paired_slab)
             gfs.append(gf)
             gps.append(gp)

@@ -215,10 +215,10 @@ def test_bwd_boundary_positions_match_xla(monkeypatch, bwd):
                                atol=1e-4)
 
 @pytest.mark.parametrize('cap_kb', [
-    10 ** 6,   # everything fits: st=2, paired gfeat
-    590,       # paired gfeat over cap at st=2 -> unpaired scatter
-    310,       # forces st=1 channel tiling, paired gfeat
-    295,       # st=1 AND unpaired scatter
+    10 ** 6,   # everything fits: st=2, paired gfeat (512.4K)
+    500,       # paired gfeat over cap at st=2 -> unpaired scatter (452.4K)
+    280,       # forces st=1 channel tiling, paired gfeat (262.4K)
+    240,       # st=1 AND unpaired scatter (232.4K)
 ])
 def test_bwd_vw_budget_ladder_matches_xla(monkeypatch, cap_kb):
     """The vw backward's fallback ladder (paired gfeat -> unpaired ->

@@ -115,7 +115,9 @@ def main(batch=8):
         return (time.perf_counter() - t0) / len(outs) * 1e3
 
     for name, fn in pieces.items():
-        jax.block_until_ready(fn(params, stats, feeds[n_iters]))
+        # warmup must PULL (a faked block would leak the compile into the
+        # timed region — a 64.4 s 'fwd' was measured exactly that way)
+        float(jax.device_get(fn(params, stats, feeds[n_iters])))
         ms = timed_scalar(lambda fn=fn: [
             fn(params, stats, feeds[i]) for i in range(n_iters)])
         report[name] = round(ms, 2)
@@ -125,7 +127,8 @@ def main(batch=8):
     # full step (donation disabled so params survive the loop; params/
     # opt_state stay constant across iters, but the loss logs depend on the
     # distinct feeds so every call is unique)
-    jax.block_until_ready(step(params, stats, opt_state, feeds[n_iters]))
+    float(jax.device_get(
+        step(params, stats, opt_state, feeds[n_iters])[2]['loss']))
     ms = timed_scalar(lambda: [
         step(params, stats, opt_state, feeds[i])[2]['loss']
         for i in range(n_iters)])
