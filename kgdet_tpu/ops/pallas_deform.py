@@ -92,6 +92,23 @@ def use_vector_weights():
     return os.environ.get('KGDET_DEFORM_FWD', 'vw') == 'vw'
 
 
+def split_walk_vector_weights():
+    """Walk choice for the SPLIT (training-path) kernel, independent of the
+    fused kernels: the vw walk is faster in-kernel but can only write its
+    pixels-in-sublanes raw layout, and every downstream matmul (column
+    contract, weight grad) or explicit transpose back to (B, P, t, C) pays
+    a relayout of the full column tensor that exceeds the walk's gain.
+    On-chip block-vjp A/B at the cascade concat83 shape (batch 8,
+    tools/profile_deform_variants.py --dual-only --grad): pair 32.55 ms,
+    vw+raw 35.11, vw+transpose-first 33.03, vw+transposed-residual 35.11
+    — so 'pair' (scalar-weight walk, standard-layout writes) is the
+    default here while the fused kernels keep vw. KGDET_DEFORM_SPLIT=vw
+    re-enables the vw split walk for A/B."""
+    import os
+    return (use_vector_weights()
+            and os.environ.get('KGDET_DEFORM_SPLIT', 'pair') == 'vw')
+
+
 def pair_rows(feat_r, W):
     """(B, HW, S, LANE) -> (B, HW, 2, S, LANE); [:, r, 1] is row r + W
     (zero tail — only reachable with zero lerp weight). One cheap XLA copy
@@ -359,7 +376,7 @@ def deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps, raw=False):
     n_pt = P_pad // TP
     paired = use_paired_rows() and slice_tiles(
         H * W, 2 * S, feat.dtype.itemsize, fwd_factor=2) == 2 * S
-    vw = use_vector_weights() and paired
+    vw = split_walk_vector_weights() and paired
     if vw:
         # corner order of the packed (2, 2, 2S, LANE) load: (tl, bl, tr, br)
         w4 = w4[..., jnp.array([0, 2, 1, 3])]
@@ -791,8 +808,16 @@ def _columns_dual_fwd(cls_feat, pts_feat, pos_yx, w_cls, w_pts, taps):
     H, W, C = cls_feat.shape[1:]
     P = pos_yx.shape[1]
     if use_pallas_split(H, W, C, cls_feat.dtype.itemsize):
+        # raw=True hands consumers the kernel's native 6-d layout, saving
+        # one XLA copy — but the backward's weight-grad matmul then pays
+        # an implicit relayout of the same bytes that measures ~5 ms at
+        # the cascade concat83 shape, vs ~2 ms for one explicit transpose.
+        # KGDET_DUAL_RAW: '1' raw everywhere, '0' transpose before the
+        # contraction, 'res' (default) contract raw but store the residual
+        # transposed so only the bwd weight-grad consumer is standard
+        # (A/B: tools/profile_deform_variants.py --dual-only --grad)
         cols = deform_sample_split_pallas(cls_feat, pts_feat, pos_yx, taps,
-                                          raw=True)
+                                          raw=_dual_raw_mode() != '0')
     else:
         cols = _split_xla(cls_feat, pts_feat, pos_yx, taps)
     dt = cls_feat.dtype
@@ -802,8 +827,23 @@ def _columns_dual_fwd(cls_feat, pts_feat, pos_yx, w_cls, w_pts, taps):
     kpt_cat = jnp.concatenate([
         _col_contract(p, w_pts[i].astype(dt), P).astype(dt)
         for i, (_, p) in enumerate(cols)], axis=-1)
+    if cols and cols[0][0].ndim == 6 and _dual_raw_mode() == 'res':
+        cols = tuple(tuple(_raw_to_std(c, P) for c in pair)
+                     for pair in cols)
     return (cls_cat, kpt_cat), (cols, cls_feat, pts_feat, pos_yx,
                                 w_cls, w_pts)
+
+
+def _dual_raw_mode():
+    import os
+    return os.environ.get('KGDET_DUAL_RAW', 'res')
+
+
+def _raw_to_std(col, P):
+    """(B, n_pt, t, S, TP, LANE) raw column -> standard (B, P, t, C)."""
+    B, n_pt, t, S = col.shape[:4]
+    return col.transpose(0, 1, 4, 2, 3, 5).reshape(
+        B, n_pt * TP, t, S * LANE)[:, :P]
 
 
 def _col_weight_grad(col, g):
@@ -813,12 +853,15 @@ def _col_weight_grad(col, g):
                           preferred_element_type=jnp.float32)
     B, n_pt, t, S = col.shape[:4]
     P = g.shape[1]
-    if n_pt * TP != P:
-        g = jnp.pad(g, [(0, 0), (0, n_pt * TP - P), (0, 0)])
-    g6 = g.reshape(B, n_pt, TP, g.shape[-1])
-    gw = jnp.einsum('bnkstl,bntf->kslf', col, g6,
-                    preferred_element_type=jnp.float32)
-    return gw.reshape(t, S * LANE, g.shape[-1])
+    # contracting (b, n, TP) directly on the raw layout puts the reduction
+    # dims at positions 0/1/4 — XLA's internal transpose for that matmul
+    # measured ~4x the cost of doing the mid-dim permutation explicitly
+    # (lane dim untouched, contiguous 128-lane rows move) and contracting
+    # in the standard (B, P, t, C) layout
+    col_t = col.transpose(0, 1, 4, 2, 3, 5).reshape(
+        B, n_pt * TP, t, S * LANE)[:, :P]
+    return jnp.einsum('bpkc,bpf->kcf', col_t, g,
+                      preferred_element_type=jnp.float32)
 
 
 def _columns_dual_bwd(taps, res, g):

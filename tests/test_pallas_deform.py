@@ -420,12 +420,18 @@ def test_dual_path_primal_and_gradients_match():
                                    rtol=2e-4, atol=2e-3)
 
 
-def test_dual_path_raw_vw_vjp_matches_xla(monkeypatch):
+@pytest.mark.parametrize('dual_raw', ['1', '0', 'res'])
+def test_dual_path_raw_vw_vjp_matches_xla(monkeypatch, dual_raw):
     """The vjp's split-kernel forward with the vw raw (pixels-in-sublanes)
-    column layout: primal einsum + weight grads + feature/pos grads == XLA.
-    use_pallas_split is forced on so the CPU run drives the same code the
-    TPU training step does."""
+    column layout: primal einsum + weight grads + feature/pos grads == XLA,
+    under every KGDET_DUAL_RAW consumption mode (raw everywhere /
+    transpose-before-contract / transposed residual). KGDET_DEFORM_SPLIT=vw
+    forces the vw split walk (shipped default is 'pair' — see
+    split_walk_vector_weights); use_pallas_split is forced on so the CPU
+    run drives the same code the TPU training step does."""
     monkeypatch.setenv('KGDET_DEFORM_FWD', 'vw')
+    monkeypatch.setenv('KGDET_DEFORM_SPLIT', 'vw')
+    monkeypatch.setenv('KGDET_DUAL_RAW', dual_raw)
     monkeypatch.setattr(pd, 'use_pallas_split', lambda *a: True)
     rng = np.random.RandomState(13)
     B, H, W, C, F = 1, 5, 6, 128, 128

@@ -57,6 +57,10 @@ def main():
     p.add_argument('--variants', default='v1,pair,vw')
     p.add_argument('--dual-only', action='store_true',
                    help='measure only the dual-path training forward')
+    p.add_argument('--grad', action='store_true',
+                   help='also time value_and_grad through the whole dual '
+                        'block (fwd + _columns_dual_bwd incl. the '
+                        'layout-dependent weight-grad einsums)')
     args = p.parse_args()
 
     from trace_piece import device_time_ms
@@ -117,6 +121,30 @@ def main():
         ms = device_time_ms(fn, feeds)
         results[f'dualfwd83_{variant}'] = round(ms, 3)
         print(f'dualfwd83 {variant}: {ms:.3f} ms', flush=True)
+
+        if args.grad:
+            # the REAL training cost of one deform block: forward +
+            # backward through the block-level dual custom_vjp — covers
+            # the split gather, the column contractions, the cotangent
+            # reassembly + fused deform backward, AND the weight-grad
+            # einsums whose lowering depends on the column layout (raw
+            # 6-d under vw, transposed 4-d otherwise)
+            def dual_loss(feat, pos, wcol, pd=pd, taps=taps):
+                (cls_cat, kpt_cat) = pd.deform_columns_dual(
+                    feat, feat, pos, wcol, wcol, taps)
+                return (jnp.sum(jnp.abs(cls_cat.astype(jnp.float32)))
+                        + jnp.sum(jnp.abs(kpt_cat.astype(jnp.float32))))
+
+            gfn = jax.jit(jax.value_and_grad(dual_loss, argnums=(0, 1, 2)))
+
+            def gcall(feat, pos, w, gfn=gfn, wc=wc):
+                return gfn(feat, pos, wc)
+
+            out = gcall(*feeds[0])
+            jax.block_until_ready(out)
+            ms = device_time_ms(gcall, feeds)
+            results[f'dualvjp83_{variant}'] = round(ms, 3)
+            print(f'dualvjp83 {variant}: {ms:.3f} ms', flush=True)
 
     ran = [v for v in args.variants.split(',')
            if f'fused_k9_out_{v}' in results]
